@@ -1,0 +1,32 @@
+"""Test configuration: force CPU with a virtual 8-device mesh.
+
+Must run before jax is imported anywhere — pytest imports conftest first.
+This is the JAX-native 'fake backend' for multi-device testing without a
+real TPU slice (SURVEY.md section 4).
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+from PIL import Image
+
+
+@pytest.fixture(scope="session")
+def image_dir(tmp_path_factory):
+    """A tiny synthetic dataset directory of RGB images."""
+    root = tmp_path_factory.mktemp("images")
+    rng = np.random.default_rng(0)
+    for i in range(12):
+        h = int(rng.integers(64, 97))
+        w = int(rng.integers(64, 97))
+        arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(root / f"img_{i:02d}.png")
+    return str(root)

@@ -1,0 +1,122 @@
+"""Data pipeline tests: discovery, split, loaders, on-device synthesis."""
+
+import numpy as np
+import pytest
+
+from torchsr_tpu.data.discovery import discover_images, split_dataset
+from torchsr_tpu.data.loader import EvalLoader, TrainLoader, initialize_datasets
+from torchsr_tpu.data.preprocess import synthesize_eval_triple, synthesize_pair
+
+
+def test_discovery_and_split(image_dir):
+    images = discover_images(image_dir)
+    assert len(images) == 12
+    train, test = split_dataset(images, 0.1, seed=0)
+    assert len(train) + len(test) == 12
+    assert len(test) == 2  # ceil(12 * 0.1)
+    # deterministic in seed
+    train2, test2 = split_dataset(images, 0.1, seed=0)
+    assert train == train2 and test == test2
+    train3, _ = split_dataset(images, 0.1, seed=1)
+    assert train != train3
+
+
+def test_train_loader_batches(image_dir):
+    images = discover_images(image_dir)
+    loader = TrainLoader(images, batch_size=4, crop_size=32, workers=2, seed=0)
+    batches = list(loader.epoch(0))
+    assert len(batches) == len(loader) == 3
+    crops, flips = batches[0]
+    assert crops.shape == (4, 32, 32, 3) and crops.dtype == np.uint8
+    assert flips.shape == (4, 2) and flips.dtype == np.bool_
+
+    # reproducible epoch
+    crops2, flips2 = next(iter(loader.epoch(0)))
+    np.testing.assert_array_equal(crops, crops2)
+    np.testing.assert_array_equal(flips, flips2)
+
+    # shuffle differs across epochs (reference bug fixed: sampler epoch
+    # is threaded through, SURVEY.md section 2 #8)
+    crops3, _ = next(iter(loader.epoch(1)))
+    assert not np.array_equal(crops, crops3)
+
+
+def test_train_loader_sharding(image_dir):
+    images = discover_images(image_dir)
+    shards = [
+        TrainLoader(images, batch_size=2, crop_size=32, workers=1,
+                    seed=0, num_shards=2, shard_index=i)
+        for i in range(2)
+    ]
+    seen = [
+        {tuple(c[0, 0, :2, 0]) for c, _ in shard.epoch(0)}
+        for shard in shards
+    ]
+    # both shards produce full batches and are not identical
+    assert len(shards[0]) == len(shards[1]) == 3
+    assert seen[0] != seen[1]
+
+
+def test_eval_loader_padding_and_determinism(image_dir):
+    images = discover_images(image_dir)[:5]
+    loader = EvalLoader(images, batch_size=2, crop_size=32, workers=1, seed=0)
+    batches = list(loader)
+    assert len(batches) == 3
+    crops, valid = batches[-1]
+    assert crops.shape == (2, 32, 32, 3)
+    assert valid == 1  # 5 images in batches of 2 -> last batch padded
+    # crops fixed across iterations (deterministic eval)
+    again = list(loader)
+    np.testing.assert_array_equal(batches[0][0], again[0][0])
+
+
+def test_synthesize_pair_matches_pil_path(image_dir):
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    crops = rng.integers(0, 256, size=(2, 32, 32, 3), dtype=np.uint8)
+    flips = np.array([[True, False], [False, True]])
+    lr, hr = synthesize_pair(crops, flips)
+    assert lr.shape == (2, 8, 8, 3) and hr.shape == (2, 32, 32, 3)
+
+    # reproduce sample 0 via the reference's host path: flip then PIL
+    # bicubic downscale of the uint8 crop
+    ref_hr = crops[0][:, ::-1, :]  # horizontal flip
+    ref_lr = np.asarray(
+        Image.fromarray(ref_hr).resize((8, 8), Image.BICUBIC),
+        dtype=np.float32,
+    ) / 255.0
+    np.testing.assert_allclose(np.asarray(hr)[0], ref_hr / 255.0, atol=1e-6)
+    assert np.abs(np.asarray(lr)[0] - ref_lr).max() < 3.0 / 255.0
+
+
+def test_synthesize_eval_triple():
+    rng = np.random.default_rng(1)
+    crops = rng.integers(0, 256, size=(1, 32, 32, 3), dtype=np.uint8)
+    lr, bic, hr = synthesize_eval_triple(crops)
+    assert lr.shape == (1, 8, 8, 3)
+    assert bic.shape == (1, 32, 32, 3)
+    assert hr.shape == (1, 32, 32, 3)
+
+
+def test_initialize_datasets_api(image_dir):
+    train_loader, eval_loader, train_len, test_len = initialize_datasets(
+        image_dir, batch_size=2, crop_size=32, workers=1,
+        dataset_multiplier=2,
+    )
+    assert train_len == 20  # 10 train images x multiplier 2
+    assert test_len == 4
+    assert isinstance(train_loader, TrainLoader)
+    assert isinstance(eval_loader, EvalLoader)
+
+
+def test_crop_too_small_raises(tmp_path):
+    from PIL import Image
+
+    arr = np.zeros((16, 16, 3), np.uint8)
+    Image.fromarray(arr).save(tmp_path / "small.png")
+    loader = TrainLoader(
+        [str(tmp_path / "small.png")], batch_size=1, crop_size=96, workers=1
+    )
+    with pytest.raises(ValueError, match="smaller than crop size"):
+        next(iter(loader.epoch(0)))

@@ -1,0 +1,74 @@
+"""Loss formulas golden-tested against torch; PSNR/SSIM sanity."""
+
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+from torchsr_tpu.train.losses import (
+    bce_loss,
+    bce_with_logits_loss,
+    l1_loss,
+    mse_loss,
+)
+from torchsr_tpu.train.metrics import psnr, psnr_per_sample, ssim
+
+
+def test_mse_l1_match_torch():
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((4, 8, 8, 3)).astype(np.float32)
+    b = rng.standard_normal((4, 8, 8, 3)).astype(np.float32)
+    ta, tb = torch.from_numpy(a), torch.from_numpy(b)
+    np.testing.assert_allclose(
+        float(mse_loss(a, b)), float(F.mse_loss(ta, tb)), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        float(l1_loss(a, b)), float(F.l1_loss(ta, tb)), rtol=1e-6
+    )
+
+
+def test_bce_matches_torch():
+    rng = np.random.default_rng(1)
+    p = rng.uniform(0.01, 0.99, size=(16, 1)).astype(np.float32)
+    t = (rng.random((16, 1)) < 0.5).astype(np.float32)
+    ours = float(bce_loss(p, t))
+    ref = float(F.binary_cross_entropy(torch.from_numpy(p), torch.from_numpy(t)))
+    np.testing.assert_allclose(ours, ref, rtol=1e-5)
+
+
+def test_bce_with_logits_matches_torch():
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((16, 1)).astype(np.float32) * 5
+    t = (rng.random((16, 1)) < 0.5).astype(np.float32)
+    ours = float(bce_with_logits_loss(x, t))
+    ref = float(
+        F.binary_cross_entropy_with_logits(
+            torch.from_numpy(x), torch.from_numpy(t)
+        )
+    )
+    np.testing.assert_allclose(ours, ref, rtol=1e-5)
+
+
+def test_bce_saturation_is_finite():
+    p = np.array([[0.0], [1.0]], dtype=np.float32)
+    t = np.array([[1.0], [0.0]], dtype=np.float32)
+    assert np.isfinite(float(bce_loss(p, t)))
+
+
+def test_psnr_reference_formula():
+    # PSNR = 10*log10(1/mse) exactly (reference srgan/trainer.py:296)
+    a = np.zeros((1, 4, 4, 3), np.float32)
+    b = np.full((1, 4, 4, 3), 0.1, np.float32)
+    expected = 10 * np.log10(1 / 0.01)
+    np.testing.assert_allclose(float(psnr(a, b)), expected, rtol=1e-5)
+    per = np.asarray(psnr_per_sample(a, b))
+    np.testing.assert_allclose(per, [expected], rtol=1e-5)
+
+
+def test_ssim_bounds_and_identity():
+    rng = np.random.default_rng(3)
+    a = rng.random((2, 16, 16, 3)).astype(np.float32)
+    assert float(ssim(a, a)) > 0.9999
+    b = rng.random((2, 16, 16, 3)).astype(np.float32)
+    val = float(ssim(a, b))
+    assert -1.0 <= val <= 1.0
+    assert val < 0.5  # independent noise should score low

@@ -1,0 +1,256 @@
+"""Host-side data loaders: threaded decode + uint8 crop, device prefetch.
+
+TPU-first redesign of the reference's DataLoader assembly (reference
+dataset.py:231-428).  Differences by design:
+
+  * Worker *threads* instead of 16 worker processes — PIL decode releases
+    the GIL, and the host does no arithmetic (the LR synthesis runs on
+    device, see torchsr_tpu.data.preprocess), so threads suffice and skip
+    the process-spawn/serialize overhead.
+  * Decoded images are cached in host RAM (configurable budget), so after
+    the first epoch the pipeline cost is pure uint8 slicing.
+  * The per-epoch shuffle is deterministic in (seed, epoch) — fixing the
+    reference bug where ``DistributedSampler.set_epoch`` is never called
+    and the shuffle order repeats every epoch (see SURVEY.md section 2 #8).
+  * Sharding across hosts replaces DistributedSampler: each process reads
+    only its 1/num_shards of every epoch (interleaved, padded by
+    wrap-around exactly like DistributedSampler).
+  * Train batches drop the final partial batch (static shapes for XLA);
+    eval batches are padded with a valid-sample count so metrics can mask.
+"""
+
+from __future__ import annotations
+
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator
+
+import numpy as np
+from PIL import Image
+
+
+def _decode_rgb(path: str) -> np.ndarray:
+    """Decode an image file to an HxWx3 uint8 array.
+
+    Always converts to RGB — unlike the reference, which feeds whatever
+    mode PIL reports and crashes on grayscale/palette/RGBA inputs.
+    """
+    with Image.open(path) as img:
+        return np.asarray(img.convert("RGB"), dtype=np.uint8)
+
+
+class _ImageCache:
+    """Bounded in-RAM cache of decoded images (thread-safe)."""
+
+    def __init__(self, max_bytes: int) -> None:
+        self._max_bytes = max_bytes
+        self._used = 0
+        self._lock = threading.Lock()
+        self._data: dict[str, np.ndarray] = {}
+
+    def get(self, path: str) -> np.ndarray:
+        with self._lock:
+            cached = self._data.get(path)
+        if cached is not None:
+            return cached
+        arr = _decode_rgb(path)
+        with self._lock:
+            if path not in self._data and self._used + arr.nbytes <= self._max_bytes:
+                self._data[path] = arr
+                self._used += arr.nbytes
+        return arr
+
+
+def _random_crop(
+    img: np.ndarray, size: int, rng: np.random.Generator
+) -> np.ndarray:
+    h, w = img.shape[:2]
+    if h < size or w < size:
+        raise ValueError(
+            f"image {img.shape[:2]} smaller than crop size {size}; the "
+            "dataset must contain images at least crop_size x crop_size"
+        )
+    top = int(rng.integers(0, h - size + 1))
+    left = int(rng.integers(0, w - size + 1))
+    return img[top:top + size, left:left + size]
+
+
+class TrainLoader:
+    """Epoch-based loader yielding (uint8 HR crops, flip bits) batches.
+
+    Each sample's randomness (crop position, flips) is a deterministic
+    function of (seed, epoch, sample index), so runs are reproducible and
+    every host draws consistent, non-overlapping work.
+    """
+
+    def __init__(
+        self,
+        paths: list[str],
+        batch_size: int,
+        crop_size: int,
+        dataset_multiplier: int = 1,
+        workers: int = 8,
+        seed: int = 0,
+        num_shards: int = 1,
+        shard_index: int = 0,
+        cache_bytes: int = 32 << 30,
+    ) -> None:
+        if not paths:
+            raise ValueError("TrainLoader needs at least one image")
+        self.paths = list(paths) * dataset_multiplier
+        self.batch_size = batch_size
+        self.crop_size = crop_size
+        self.seed = seed
+        self.num_shards = num_shards
+        self.shard_index = shard_index
+        self.workers = max(1, workers)
+        self._cache = _ImageCache(cache_bytes)
+        self._pool = ThreadPoolExecutor(max_workers=self.workers)
+
+        # Samples per shard, DistributedSampler-style wrap-around padding,
+        # then truncated to full batches for static XLA shapes.
+        per_shard = -(-len(self.paths) // num_shards)
+        self.batches_per_epoch = max(1, per_shard // batch_size) \
+            if per_shard >= batch_size else 1
+        self.samples_per_epoch = self.batches_per_epoch * batch_size
+
+    def __len__(self) -> int:
+        return self.batches_per_epoch
+
+    @property
+    def dataset_len(self) -> int:
+        """Total (unsharded) dataset size — the reference's train_len."""
+        return len(self.paths)
+
+    def _sample(self, path: str, sample_seed: tuple[int, ...]):
+        rng = np.random.default_rng(sample_seed)
+        img = self._cache.get(path)
+        crop = _random_crop(img, self.crop_size, rng)
+        flips = rng.random(2) < 0.5
+        return crop, flips
+
+    def epoch(self, epoch_idx: int) -> Iterator[tuple[np.ndarray, np.ndarray]]:
+        """Iterate one epoch's batches for this shard."""
+        n = len(self.paths)
+        order = np.random.default_rng(
+            (self.seed, epoch_idx)
+        ).permutation(n)
+        # Pad to a multiple of num_shards by wrapping, then interleave.
+        total = -(-n // self.num_shards) * self.num_shards
+        if total > n:
+            order = np.concatenate([order, order[: total - n]])
+        shard = order[self.shard_index::self.num_shards]
+        shard = shard[: self.samples_per_epoch]
+
+        bs = self.batch_size
+        for b in range(self.batches_per_epoch):
+            idx = shard[b * bs:(b + 1) * bs]
+            results = list(
+                self._pool.map(
+                    lambda i: self._sample(
+                        self.paths[int(i)],
+                        (self.seed, epoch_idx, int(i)),
+                    ),
+                    idx,
+                )
+            )
+            crops = np.stack([r[0] for r in results])
+            flips = np.stack([r[1] for r in results])
+            yield crops, flips
+
+
+class EvalLoader:
+    """Deterministic eval loader yielding padded uint8 crop batches.
+
+    Crops are a fixed function of (seed, image index) so validation is
+    stable across epochs — the reference re-crops randomly every eval
+    pass (dataset.py:193-196), which adds noise to its PSNR curve.
+    Yields ``(crops_u8, valid)`` where the last batch may be padded and
+    ``valid`` counts real samples.
+    """
+
+    def __init__(
+        self,
+        paths: list[str],
+        batch_size: int,
+        crop_size: int,
+        dataset_multiplier: int = 1,
+        workers: int = 8,
+        seed: int = 0,
+        num_shards: int = 1,
+        shard_index: int = 0,
+        cache_bytes: int = 8 << 30,
+    ) -> None:
+        if not paths:
+            raise ValueError("EvalLoader needs at least one image")
+        self.paths = list(paths) * dataset_multiplier
+        self.batch_size = batch_size
+        self.crop_size = crop_size
+        self.seed = seed
+        self._cache = _ImageCache(cache_bytes)
+        self._pool = ThreadPoolExecutor(max_workers=max(1, workers))
+        indices = np.arange(len(self.paths))
+        self.indices = indices[shard_index::num_shards]
+        self.batches_per_epoch = -(-len(self.indices) // batch_size)
+
+    def __len__(self) -> int:
+        return self.batches_per_epoch
+
+    @property
+    def dataset_len(self) -> int:
+        return len(self.paths)
+
+    def _sample(self, i: int) -> np.ndarray:
+        rng = np.random.default_rng((self.seed, int(i)))
+        img = self._cache.get(self.paths[int(i)])
+        return _random_crop(img, self.crop_size, rng)
+
+    def __iter__(self) -> Iterator[tuple[np.ndarray, int]]:
+        bs = self.batch_size
+        for b in range(self.batches_per_epoch):
+            idx = self.indices[b * bs:(b + 1) * bs]
+            crops = list(self._pool.map(self._sample, idx))
+            valid = len(crops)
+            while len(crops) < bs:
+                crops.append(np.zeros_like(crops[0]))
+            yield np.stack(crops), valid
+
+
+def initialize_datasets(
+    train_directory: str,
+    batch_size: int,
+    crop_size: int = 96,
+    upscale_factor: int = 4,
+    dataset_multiplier: int = 1,
+    workers: int = 16,
+    num_shards: int = 1,
+    shard_index: int = 0,
+    seed: int = 0,
+) -> tuple[TrainLoader, EvalLoader, int, int]:
+    """Discover, split 90/10, and build loaders.
+
+    API parity with the reference's ``initialize_datasets``
+    (dataset.py:364-428): returns
+    (train_loader, test_loader, train_len, test_len).
+    """
+    from torchsr_tpu.data.discovery import discover_images, split_dataset
+
+    del upscale_factor  # synthesis happens on device; scale passed there
+    images = discover_images(train_directory)
+    train_paths, test_paths = split_dataset(images, 0.1, seed)
+    train_loader = TrainLoader(
+        train_paths, batch_size, crop_size,
+        dataset_multiplier=dataset_multiplier, workers=workers,
+        seed=seed, num_shards=num_shards, shard_index=shard_index,
+    )
+    eval_loader = EvalLoader(
+        test_paths, batch_size, crop_size,
+        dataset_multiplier=dataset_multiplier, workers=workers,
+        seed=seed, num_shards=num_shards, shard_index=shard_index,
+    )
+    return (
+        train_loader,
+        eval_loader,
+        train_loader.dataset_len,
+        eval_loader.dataset_len,
+    )

@@ -1,0 +1,166 @@
+"""ESRGAN generator (RRDB) and discriminator, TPU-native (flax, NHWC).
+
+Capability parity with the reference ESRGAN networks
+(/root/reference/torchsr/esrgan/generator.py:23-81, residual.py:17-129,
+discriminator.py:17-95), redesigned for TPU:
+
+  * NHWC layout; dense-concat growth along the channel (minor) axis keeps
+    concatenations layout-friendly for the MXU.
+  * ``F.interpolate(mode='nearest')`` becomes a broadcast-reshape
+    ``nearest_upsample`` XLA fuses into the following conv.
+  * RDB conv kernels use kaiming-normal scaled by 0.1 with zero biases
+    (reference residual.py:58-63).
+
+Architecture (identical compute graph to the reference):
+  generator: conv3(3->64) -> 23 RRDB (each = 3 residual-dense blocks of 5
+    dense convs with growth 32, residual scale 0.2) -> conv3 trunk ->
+    long skip add -> 2x [nearest x2 + conv3 + LeakyReLU] ->
+    conv3+LeakyReLU -> conv3(64->3).
+  discriminator: 10 conv3 stages to 512 (strided every other), BN+Leaky,
+    flatten -> Linear(100) -> Leaky -> Linear(1); *logits* output (the
+    relativistic loss uses BCE-with-logits).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from torchsr_tpu.models.layers import (
+    BatchNorm,
+    Conv,
+    Dense,
+    leaky_relu,
+)
+from torchsr_tpu.ops.resize import nearest_upsample
+
+NUM_RESIDUAL = 23
+
+# kaiming_normal (gain sqrt2, fan_in) then x0.1 => variance 0.02/fan_in.
+_rdb_kernel_init = nn.initializers.variance_scaling(
+    0.02, "fan_in", "normal"
+)
+_zero_bias = nn.initializers.zeros
+
+
+class ResidualDenseBlock(nn.Module):
+    """5-conv dense block: each conv sees all previous outputs."""
+
+    channels: int = 64
+    growth_channels: int = 32
+    scale_ratio: float = 0.2
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        def conv(features, name):
+            return Conv(
+                features, (3, 3), dtype=self.dtype,
+                kernel_init=_rdb_kernel_init, name=name,
+            )
+
+        feats = [x]
+        for i in range(4):
+            out = conv(self.growth_channels, f"conv{i + 1}")(
+                jnp.concatenate(feats, axis=-1)
+            )
+            out = leaky_relu(out, 0.2)
+            feats.append(out)
+        out = conv(self.channels, "conv5")(
+            jnp.concatenate(feats, axis=-1)
+        )
+        return out * jnp.asarray(self.scale_ratio, out.dtype) + x
+
+
+class RRDB(nn.Module):
+    """Residual-in-residual dense block: 3 RDBs with a scaled skip."""
+
+    channels: int = 64
+    growth_channels: int = 32
+    scale_ratio: float = 0.2
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        out = x
+        for i in range(3):
+            out = ResidualDenseBlock(
+                self.channels, self.growth_channels, self.scale_ratio,
+                dtype=self.dtype, name=f"rdb{i + 1}",
+            )(out)
+        return out * jnp.asarray(self.scale_ratio, out.dtype) + x
+
+
+class ESRGANGenerator(nn.Module):
+    """4x ESRGAN RRDB generator; NHWC in/out, [0, 1] pixel space."""
+
+    num_rrdb_blocks: int = NUM_RESIDUAL
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        del train  # no batch statistics in the ESRGAN generator
+        dtype = self.dtype or jnp.float32
+        x = x.astype(dtype)
+
+        conv1 = Conv(64, (3, 3), dtype=self.dtype, name="conv1")(x)
+
+        out = conv1
+        for i in range(self.num_rrdb_blocks):
+            out = RRDB(64, 32, 0.2, dtype=self.dtype,
+                       name=f"block{i}")(out)
+
+        out = Conv(64, (3, 3), dtype=self.dtype, name="conv2")(out)
+        out = conv1 + out
+
+        for i in range(2):
+            out = nearest_upsample(out, 2)
+            out = Conv(64, (3, 3), dtype=self.dtype,
+                       name=f"upsample{i + 1}")(out)
+            out = leaky_relu(out, 0.2)
+
+        out = Conv(64, (3, 3), dtype=self.dtype, name="conv3")(out)
+        out = leaky_relu(out, 0.2)
+        out = Conv(3, (3, 3), dtype=self.dtype, name="conv4")(out)
+        return out.astype(jnp.float32)
+
+
+class ESRGANDiscriminator(nn.Module):
+    """ESRGAN discriminator; outputs raw logits (no sigmoid)."""
+
+    image_size: int = 128
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        dtype = self.dtype or jnp.float32
+        out = x.astype(dtype)
+
+        stages = [
+            (64, 1, False),
+            (64, 2, True),
+            (128, 1, True),
+            (128, 2, True),
+            (256, 1, True),
+            (256, 2, True),
+            (512, 1, True),
+            (512, 2, True),
+            (512, 1, True),
+            (512, 2, True),
+        ]
+        for i, (feat, stride, use_bn) in enumerate(stages):
+            out = Conv(feat, (3, 3), strides=(stride, stride),
+                       use_bias=not use_bn, dtype=self.dtype,
+                       name=f"conv{i}")(out)
+            if use_bn:
+                out = BatchNorm(use_running_average=not train,
+                                dtype=self.dtype, name=f"bn{i}")(out)
+            out = leaky_relu(out, 0.2)
+
+        out = out.reshape(out.shape[0], -1)
+        out = Dense(100, dtype=self.dtype, name="fc1")(out)
+        out = leaky_relu(out, 0.2)
+        out = Dense(1, dtype=self.dtype, name="fc2")(out)
+        return out.astype(jnp.float32)

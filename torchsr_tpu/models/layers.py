@@ -1,0 +1,152 @@
+"""Shared flax.linen building blocks (NHWC, torch-compatible initialization).
+
+These are new TPU-first implementations of the primitives the reference
+builds from ``torch.nn`` (srgan/residual.py, esrgan/residual.py): the
+convs map to the MXU through XLA's conv lowering, PixelShuffle becomes a
+``depth_to_space`` fused with its producing conv, and activations fuse on
+the VPU.
+
+Initialization matches torch defaults so training dynamics are comparable:
+  * conv/dense kernels: kaiming-uniform with a=sqrt(5)  -> uniform with
+    variance 1/(3*fan_in) (``variance_scaling(1/3, 'fan_in', 'uniform')``)
+  * biases: uniform(-1/sqrt(fan_in), 1/sqrt(fan_in))
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Dtype = Any
+
+# torch's default kaiming_uniform(a=sqrt(5)) kernel init.
+torch_kernel_init = nn.initializers.variance_scaling(
+    1.0 / 3.0, "fan_in", "uniform"
+)
+
+
+def torch_bias_init(fan_in: int) -> Callable:
+    """torch's default bias init: uniform(+-1/sqrt(fan_in))."""
+    bound = 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(
+            key, shape, dtype, minval=-bound, maxval=bound
+        )
+
+    return init
+
+
+class Conv(nn.Module):
+    """2D convolution, NHWC, SAME padding by default, torch-style init.
+
+    ``kernel_scale`` post-scales the kernel init — used by ESRGAN's
+    residual dense blocks which initialize kaiming-normal then multiply by
+    0.1 (reference esrgan/residual.py:58-63).
+    """
+
+    features: int
+    kernel_size: Sequence[int] = (3, 3)
+    strides: Sequence[int] = (1, 1)
+    use_bias: bool = True
+    dtype: Dtype | None = None
+    kernel_init: Callable | None = None
+    kernel_scale: float | None = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        in_features = x.shape[-1]
+        fan_in = in_features * int(
+            self.kernel_size[0] * self.kernel_size[1]
+        )
+        kinit = self.kernel_init or torch_kernel_init
+        if self.kernel_scale is not None:
+            base = kinit
+            scale = self.kernel_scale
+
+            def kinit(key, shape, dtype=jnp.float32, _base=base, _s=scale):
+                return _base(key, shape, dtype) * _s
+
+        return nn.Conv(
+            features=self.features,
+            kernel_size=tuple(self.kernel_size),
+            strides=tuple(self.strides),
+            padding="SAME",
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=kinit,
+            bias_init=torch_bias_init(fan_in),
+            name="conv",
+        )(x)
+
+
+class Dense(nn.Module):
+    """Fully connected layer with torch-style init."""
+
+    features: int
+    dtype: Dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        fan_in = x.shape[-1]
+        return nn.Dense(
+            features=self.features,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=torch_kernel_init,
+            bias_init=torch_bias_init(fan_in),
+            name="dense",
+        )(x)
+
+
+class PReLU(nn.Module):
+    """Parametric ReLU with a single shared learnable slope (init 0.25).
+
+    Matches ``torch.nn.PReLU()`` defaults as used throughout the SRGAN
+    generator (reference srgan/generator.py:39, residual.py:29, :68).
+    """
+
+    init_value: float = 0.25
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        alpha = self.param(
+            "alpha",
+            lambda _key: jnp.full((1,), self.init_value, jnp.float32),
+        )
+        alpha = alpha.astype(x.dtype)
+        return jnp.where(x >= 0, x, alpha * x)
+
+
+def leaky_relu(x: jnp.ndarray, negative_slope: float = 0.2) -> jnp.ndarray:
+    """LeakyReLU(0.2) — the discriminator/ESRGAN activation."""
+    return jnp.where(x >= 0, x, x * jnp.asarray(negative_slope, x.dtype))
+
+
+class BatchNorm(nn.Module):
+    """Batch normalization with torch defaults (momentum 0.1, eps 1e-5).
+
+    flax's ``momentum`` is the decay of the running average, i.e.
+    ``torch_momentum = 1 - flax_momentum``; running stats live in the
+    ``batch_stats`` collection and are updated on train-mode applies,
+    mirroring torch's per-forward running-stat updates.
+    """
+
+    use_running_average: bool = False
+    dtype: Dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return nn.BatchNorm(
+            use_running_average=self.use_running_average,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="bn",
+        )(x)

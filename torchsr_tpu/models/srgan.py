@@ -1,0 +1,145 @@
+"""SRGAN generator and discriminator, TPU-native (flax.linen, NHWC).
+
+Capability parity with the reference SRGAN networks
+(/root/reference/torchsr/srgan/generator.py:23-81,
+residual.py:16-92, discriminator.py:17-88), redesigned for TPU:
+
+  * NHWC layout so XLA tiles convs directly onto the MXU.
+  * PixelShuffle -> ``depth_to_space`` (pure reshape/transpose XLA fuses
+    with the producing conv) instead of a channel-shuffle op.
+  * Compute dtype is configurable (bfloat16 for training = AMP
+    equivalent); params are always float32.
+
+Architecture (identical compute graph to the reference):
+  generator: conv9x9(3->64)+PReLU -> 16x[conv3-BN-PReLU-conv3-BN + skip]
+    -> conv3+BN -> long skip add -> log2(scale) x [conv3(64->256),
+    depth_to_space(2), PReLU] -> conv9x9(64->3); no output activation.
+  discriminator: 8 conv3 stages 64->512 alternating stride 1/2 with
+    BN+LeakyReLU(0.2) (no BN on the first), flatten, Linear->1024,
+    LeakyReLU, Linear->1, Sigmoid (probability output for plain BCE).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from torchsr_tpu.models.layers import (
+    BatchNorm,
+    Conv,
+    Dense,
+    PReLU,
+    leaky_relu,
+)
+from torchsr_tpu.ops.pixel_shuffle import depth_to_space
+
+NUM_RESIDUAL = 16
+
+
+class ResidualBlock(nn.Module):
+    """conv3-BN-PReLU-conv3-BN with an identity skip (64 channels)."""
+
+    channels: int = 64
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        out = Conv(self.channels, (3, 3), use_bias=False,
+                   dtype=self.dtype, name="conv1")(x)
+        out = BatchNorm(use_running_average=not train,
+                        dtype=self.dtype, name="bn1")(out)
+        out = PReLU(name="prelu")(out)
+        out = Conv(self.channels, (3, 3), use_bias=False,
+                   dtype=self.dtype, name="conv2")(out)
+        out = BatchNorm(use_running_average=not train,
+                        dtype=self.dtype, name="bn2")(out)
+        return out + x
+
+
+class SubpixelConv(nn.Module):
+    """conv3(C->4C) -> depth_to_space(2) -> PReLU (one x2 upsample stage)."""
+
+    channels: int = 64
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        out = Conv(self.channels * 4, (3, 3), dtype=self.dtype,
+                   name="conv")(x)
+        out = depth_to_space(out, 2)
+        return PReLU(name="prelu")(out)
+
+
+class SRGANGenerator(nn.Module):
+    """4x SRGAN generator; input/output NHWC in [0, 1] pixel space."""
+
+    scale_factor: int = 4
+    num_residual: int = NUM_RESIDUAL
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        dtype = self.dtype or jnp.float32
+        x = x.astype(dtype)
+        conv1 = Conv(64, (9, 9), dtype=self.dtype, name="conv1")(x)
+        conv1 = PReLU(name="prelu1")(conv1)
+
+        out = conv1
+        for i in range(self.num_residual):
+            out = ResidualBlock(64, dtype=self.dtype,
+                                name=f"block{i}")(out, train=train)
+
+        out = Conv(64, (3, 3), use_bias=False, dtype=self.dtype,
+                   name="conv2")(out)
+        out = BatchNorm(use_running_average=not train,
+                        dtype=self.dtype, name="bn2")(out)
+        out = conv1 + out
+
+        for i in range(int(math.log2(self.scale_factor))):
+            out = SubpixelConv(64, dtype=self.dtype,
+                               name=f"upsample{i}")(out)
+
+        out = Conv(3, (9, 9), dtype=self.dtype, name="conv3")(out)
+        return out.astype(jnp.float32)
+
+
+class SRGANDiscriminator(nn.Module):
+    """SRGAN discriminator; outputs a probability (sigmoid head)."""
+
+    image_size: int = 96
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        dtype = self.dtype or jnp.float32
+        out = x.astype(dtype)
+
+        # (features, stride, batchnorm); first stage has bias and no BN.
+        stages = [
+            (64, 1, False),
+            (64, 2, True),
+            (128, 1, True),
+            (128, 2, True),
+            (256, 1, True),
+            (256, 2, True),
+            (512, 1, True),
+            (512, 2, True),
+        ]
+        for i, (feat, stride, use_bn) in enumerate(stages):
+            out = Conv(feat, (3, 3), strides=(stride, stride),
+                       use_bias=not use_bn, dtype=self.dtype,
+                       name=f"conv{i}")(out)
+            if use_bn:
+                out = BatchNorm(use_running_average=not train,
+                                dtype=self.dtype, name=f"bn{i}")(out)
+            out = leaky_relu(out, 0.2)
+
+        out = out.reshape(out.shape[0], -1)
+        out = Dense(1024, dtype=self.dtype, name="fc1")(out)
+        out = leaky_relu(out, 0.2)
+        out = Dense(1, dtype=self.dtype, name="fc2")(out)
+        out = nn.sigmoid(out.astype(jnp.float32))
+        return out

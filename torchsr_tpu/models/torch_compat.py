@@ -1,0 +1,205 @@
+"""Torch checkpoint interop: load reference ``.pth`` files into our models.
+
+The reference saves generator-only checkpoints as
+``{"epoch", "phase", "state": state_dict}`` (srgan/trainer.py:254-258) and
+its inference path strips DDP's ``module.`` prefix (test.py:43-55).  These
+converters map those torch ``state_dict`` layouts onto our flax NHWC param
+trees so users can bring existing TorchSR checkpoints to the TPU stack.
+
+Layout conversions:
+  * conv kernels: torch OIHW -> flax HWIO
+  * linear kernels: torch (out, in) -> flax (in, out); when the linear
+    consumes a flattened conv map, the input axis is additionally permuted
+    from CHW-flattening order to our HWC-flattening order.
+  * BatchNorm: weight/bias -> scale/bias params; running_mean/var ->
+    batch_stats.
+  * PReLU: weight -> alpha.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Mapping
+
+import numpy as np
+
+
+def strip_ddp_prefix(state_dict: Mapping[str, Any]) -> dict:
+    """Remove DDP's ``module.`` prefix from every key (ref test.py:43-55).
+
+    Unlike the reference (which crashes on non-DDP checkpoints due to an
+    unbound variable), non-prefixed keys pass through unchanged.
+    """
+    out = {}
+    for key, value in state_dict.items():
+        if key.startswith("module."):
+            key = key[len("module."):]
+        out[key] = value
+    return out
+
+
+def _np(t) -> np.ndarray:
+    """torch tensor (or array) -> float32 numpy array."""
+    if hasattr(t, "detach"):
+        t = t.detach().cpu().numpy()
+    return np.asarray(t, dtype=np.float32)
+
+
+def _conv(sd: Mapping[str, Any], prefix: str, bias: bool = True) -> dict:
+    """One torch Conv2d -> our layers.Conv param dict (HWIO)."""
+    params = {"kernel": _np(sd[f"{prefix}.weight"]).transpose(2, 3, 1, 0)}
+    if bias:
+        params["bias"] = _np(sd[f"{prefix}.bias"])
+    return {"conv": params}
+
+
+def _bn(sd: Mapping[str, Any], prefix: str) -> tuple[dict, dict]:
+    """One torch BatchNorm2d -> (params, batch_stats) for layers.BatchNorm."""
+    params = {
+        "bn": {
+            "scale": _np(sd[f"{prefix}.weight"]),
+            "bias": _np(sd[f"{prefix}.bias"]),
+        }
+    }
+    stats = {
+        "bn": {
+            "mean": _np(sd[f"{prefix}.running_mean"]),
+            "var": _np(sd[f"{prefix}.running_var"]),
+        }
+    }
+    return params, stats
+
+
+def _prelu(sd: Mapping[str, Any], prefix: str) -> dict:
+    return {"alpha": _np(sd[f"{prefix}.weight"]).reshape(-1)}
+
+
+def _linear(
+    sd: Mapping[str, Any],
+    prefix: str,
+    chw: tuple[int, int, int] | None = None,
+) -> dict:
+    """torch Linear -> our layers.Dense params.
+
+    ``chw``: if the linear consumes a flattened conv feature map, pass the
+    torch-side (C, H, W) so the input axis can be permuted from the
+    reference's CHW flattening (torch.flatten of NCHW,
+    srgan/discriminator.py:84) to our HWC flattening.
+    """
+    weight = _np(sd[f"{prefix}.weight"])  # (out, in)
+    if chw is not None:
+        c, h, w = chw
+        weight = (
+            weight.reshape(-1, c, h, w)
+            .transpose(0, 2, 3, 1)
+            .reshape(weight.shape[0], -1)
+        )
+    return {
+        "dense": {
+            "kernel": weight.T,
+            "bias": _np(sd[f"{prefix}.bias"]),
+        }
+    }
+
+
+def convert_srgan_generator(state_dict: Mapping[str, Any]) -> dict:
+    """Reference SRGAN generator state_dict -> flax variables dict.
+
+    Torch module names per reference srgan/generator.py:37-58 and
+    residual.py:16-92.
+    """
+    sd = strip_ddp_prefix(state_dict)
+    params: dict = {}
+    stats: dict = {}
+
+    params["conv1"] = _conv(sd, "conv1.0")
+    params["prelu1"] = _prelu(sd, "conv1.1")
+
+    num_blocks = len(
+        {k.split(".")[1] for k in sd if k.startswith("blocks.")}
+    )
+    for i in range(num_blocks):
+        p = f"blocks.{i}"
+        bp: dict = {}
+        bs: dict = {}
+        bp["conv1"] = _conv(sd, f"{p}.conv1", bias=False)
+        bp["bn1"], bs["bn1"] = _bn(sd, f"{p}.bn1")
+        bp["prelu"] = _prelu(sd, f"{p}.prelu")
+        bp["conv2"] = _conv(sd, f"{p}.conv2", bias=False)
+        bp["bn2"], bs["bn2"] = _bn(sd, f"{p}.bn2")
+        params[f"block{i}"] = bp
+        stats[f"block{i}"] = bs
+
+    params["conv2"] = _conv(sd, "conv2.0", bias=False)
+    params["bn2"], stats["bn2"] = _bn(sd, "conv2.1")
+
+    num_up = len(
+        {k.split(".")[1] for k in sd if k.startswith("conv_layers.")}
+    )
+    for i in range(num_up):
+        p = f"conv_layers.{i}"
+        params[f"upsample{i}"] = {
+            "conv": _conv(sd, f"{p}.conv"),
+            "prelu": _prelu(sd, f"{p}.prelu"),
+        }
+
+    params["conv3"] = _conv(sd, "conv3")
+    return {"params": params, "batch_stats": stats}
+
+
+def convert_esrgan_generator(state_dict: Mapping[str, Any]) -> dict:
+    """Reference ESRGAN generator state_dict -> flax variables dict.
+
+    Torch module names per reference esrgan/generator.py:35-52 and
+    residual.py:17-129.
+    """
+    sd = strip_ddp_prefix(state_dict)
+    params: dict = {}
+
+    params["conv1"] = _conv(sd, "conv1")
+
+    num_blocks = len(
+        {k.split(".")[1] for k in sd if k.startswith("blocks.")}
+    )
+    for i in range(num_blocks):
+        rrdb: dict = {}
+        for j in range(1, 4):
+            p = f"blocks.{i}.RDB{j}"
+            rdb: dict = {}
+            for c in range(1, 5):
+                rdb[f"conv{c}"] = _conv(sd, f"{p}.conv{c}.0")
+            rdb["conv5"] = _conv(sd, f"{p}.conv5")
+            rrdb[f"rdb{j}"] = rdb
+        params[f"block{i}"] = rrdb
+
+    params["conv2"] = _conv(sd, "conv2")
+    params["upsample1"] = _conv(sd, "upsample1")
+    params["upsample2"] = _conv(sd, "upsample2")
+    params["conv3"] = _conv(sd, "conv3.0")
+    params["conv4"] = _conv(sd, "conv4")
+    return {"params": params}
+
+
+def convert_vgg19(state_dict: Mapping[str, Any]) -> dict:
+    """torchvision VGG19 state_dict -> VGG19Features flax variables.
+
+    Accepts either a full torchvision ``vgg19`` state_dict
+    (``features.{idx}.weight``) or the bare hub checkpoint file contents.
+    Only the 16 convs through relu5_4 (features[:36]) are used, matching
+    the reference's truncation (srgan/loss.py:31).
+    """
+    sd = {k: v for k, v in state_dict.items()}
+    # torchvision layer indices of the conv layers in features[:36]
+    conv_indices = [0, 2, 5, 7, 10, 12, 14, 16,
+                    19, 21, 23, 25, 28, 30, 32, 34]
+    params = {}
+    for our_idx, torch_idx in enumerate(conv_indices):
+        params[f"conv{our_idx}"] = _conv(sd, f"features.{torch_idx}")
+    return {"params": params}
+
+
+def load_torch_checkpoint(path: str) -> dict:
+    """Load a torch ``.pth`` file (CPU) and return the raw object."""
+    import torch
+
+    return torch.load(path, map_location="cpu", weights_only=False)
