@@ -14,6 +14,12 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# The environment's TPU plugin overrides JAX_PLATFORMS; the explicit
+# config knob takes precedence over both.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import pytest
 from PIL import Image

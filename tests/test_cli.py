@@ -1,0 +1,91 @@
+"""CLI end-to-end: train (tiny) then test, reference flag surface."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from torchsr_tpu.cli import main, parse_args
+
+
+def test_parse_train_defaults():
+    args = parse_args(["train"])
+    assert args.function == "train"
+    assert args.batch_size == 64
+    assert args.epochs == 1000
+    assert args.pretrain_epochs == 1000
+    assert args.model == "ESRGAN"
+    assert args.train_dir == "dataset"
+    assert args.seed == 0
+    assert not args.disable_amp
+
+
+def test_parse_test_has_seed():
+    # The reference's `test` subcommand lacks --seed and crashes in
+    # distributed_params (torchsr.py:152, SURVEY.md section 3.2) — fixed.
+    args = parse_args(["test", "photo.png"])
+    assert args.function == "test"
+    assert args.image == "photo.png"
+    assert args.seed == 0
+
+
+def test_invalid_model_rejected(capsys):
+    with pytest.raises(SystemExit):
+        parse_args(["train", "--model", "nope"])
+
+
+def test_dataset_multiplier_validation():
+    with pytest.raises(SystemExit):
+        parse_args(["train", "--dataset-multiplier", "0"])
+
+
+@pytest.mark.slow
+def test_cli_train_then_test(image_dir, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    main([
+        "train",
+        "--train-dir", image_dir,
+        "--model", "srgan",
+        "--batch-size", "8",
+        "--epochs", "1",
+        "--pretrain-epochs", "1",
+        "--data-workers", "2",
+        "--seed", "3",
+        "--disable-amp",
+        "--skip-image-save",
+        "--crop-size", "32",
+        "--gen-blocks", "1",
+        "--vgg-convs", "2",
+    ])
+    assert os.path.exists("srgan-gan-best.ckpt")
+
+    # CLI `test`: upscale an image with the trained checkpoint (the
+    # crop-size mismatch doesn't matter: generators are fully conv).
+    rng = np.random.default_rng(0)
+    Image.fromarray(
+        rng.integers(0, 256, (40, 48, 3), dtype=np.uint8)
+    ).save("input.png")
+    main(["test", "input.png", "--model", "srgan"])
+    assert os.path.exists("upres-input.png")
+    out = np.asarray(Image.open("upres-input.png"))
+    assert out.shape == (160, 192, 3)
+
+    # tiled path produces an output of the same size
+    main([
+        "test", "input.png", "--model", "srgan",
+        "--tile", "32", "--tile-overlap", "8", "--tile-batch", "2",
+    ])
+    out2 = np.asarray(Image.open("upres-input.png"))
+    assert out2.shape == (160, 192, 3)
+
+
+@pytest.mark.slow
+def test_cli_test_without_checkpoint_errors(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    rng = np.random.default_rng(0)
+    Image.fromarray(
+        rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    ).save("x.png")
+    with pytest.raises(FileNotFoundError, match="no checkpoint found"):
+        main(["test", "x.png", "--model", "srgan"])

@@ -1,0 +1,131 @@
+"""End-to-end trainer integration tests on tiny configs (CPU, 8-dev mesh).
+
+Covers the two-phase recipe, checkpoint best/latest semantics, resume,
+and the data-parallel sharded step — the test strategy SURVEY.md
+section 4 prescribes (the reference ships no tests).
+"""
+
+import os
+from argparse import Namespace
+
+import numpy as np
+import pytest
+
+from torchsr_tpu.data.loader import initialize_datasets
+from torchsr_tpu.parallel.mesh import DistributedContext, make_mesh
+from torchsr_tpu.utils.checkpoint import load_checkpoint
+
+
+def _args(**kwargs) -> Namespace:
+    base = dict(
+        batch_size=8,
+        data_workers=2,
+        dataset_multiplier=1,
+        disable_amp=True,  # f32 on CPU
+        epochs=1,
+        gan_checkpoint=None,
+        master_addr=None,
+        master_port=None,
+        model="srgan",
+        pretrain_epochs=1,
+        psnr_checkpoint=None,
+        seed=1,
+        skip_image_save=True,
+        train_dir="",
+        num_residual=1,   # tiny models for CPU speed
+        vgg_convs=2,
+    )
+    base.update(kwargs)
+    return Namespace(**base)
+
+
+@pytest.fixture()
+def workdir(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    return tmp_path
+
+
+def _make_trainer(image_dir, args):
+    from torchsr_tpu.registry import select_trainer_model
+
+    trainer_cls, _crop = select_trainer_model(args)
+    crop = 32  # small crops for CPU
+    loaders = initialize_datasets(
+        image_dir, batch_size=args.batch_size, crop_size=crop,
+        dataset_multiplier=args.dataset_multiplier,
+        workers=args.data_workers, seed=args.seed,
+    )
+    mesh = make_mesh()
+    ctx = DistributedContext(1, -1, -1, 1, False)
+    return trainer_cls(args, *loaders, mesh, ctx)
+
+
+@pytest.mark.slow
+def test_srgan_full_recipe(image_dir, workdir):
+    args = _args(model="srgan")
+    trainer = _make_trainer(image_dir, args)
+    assert len(trainer.mesh.devices.ravel()) == 8  # virtual CPU mesh
+    trainer.train()
+
+    # best/latest checkpoints for both phases (reference naming contract)
+    for name in (
+        "srgan-psnr-latest.ckpt", "srgan-psnr-best.ckpt",
+        "srgan-gan-latest.ckpt", "srgan-gan-best.ckpt",
+    ):
+        assert os.path.exists(name), name
+
+    ckpt = load_checkpoint("srgan-gan-best.ckpt")
+    assert ckpt["epoch"] == 1
+    assert ckpt["phase"] == "srgan-gan"
+    assert "params" in ckpt["state"]
+    assert "extra" in ckpt  # lossless resume payload
+
+
+@pytest.mark.slow
+def test_srgan_resume_from_checkpoint(image_dir, workdir):
+    args = _args(model="srgan", epochs=1, pretrain_epochs=2)
+    trainer = _make_trainer(image_dir, args)
+    trainer._pretrain()
+    ckpt = load_checkpoint("srgan-psnr-latest.ckpt")
+    assert ckpt["epoch"] == 2
+
+    # A fresh trainer resumes pretraining at the stored epoch
+    # (reference re-runs the saved epoch, srgan/trainer.py:367).
+    trainer2 = _make_trainer(image_dir, args)
+    restored_epoch = trainer2._restore(ckpt, "psnr")
+    assert restored_epoch == 2
+    p_old = np.asarray(
+        next(iter(
+            __import__("jax").tree.leaves(trainer2.state.gen_params)
+        ))
+    )
+    p_ckpt = np.asarray(
+        next(iter(
+            __import__("jax").tree.leaves(ckpt["state"]["params"])
+        ))
+    )
+    np.testing.assert_allclose(p_old.ravel(), p_ckpt.ravel(), atol=1e-6)
+
+
+@pytest.mark.slow
+def test_esrgan_gan_step(image_dir, workdir):
+    args = _args(model="esrgan", epochs=1, pretrain_epochs=0)
+    trainer = _make_trainer(image_dir, args)
+    crops, flips = next(iter(trainer.train_loader.epoch(0)))
+    crops_dev, flips_dev = trainer._put(crops, flips)
+    import jax
+
+    # the step donates its input state: snapshot params first
+    before = jax.device_get(trainer.state.gen_params)
+    state, metrics = trainer.gan_step(
+        trainer.state, crops_dev, flips_dev, 1e-4, 1e-4
+    )
+    trainer.state = state
+    assert np.isfinite(float(metrics["gen_loss"]))
+    assert np.isfinite(float(metrics["disc_loss"]))
+    # params actually moved
+    moved = jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        before, jax.device_get(state.gen_params),
+    )
+    assert max(jax.tree.leaves(moved)) > 0

@@ -1,0 +1,235 @@
+"""CLI entrypoint: ``torchsr train`` / ``torchsr test``.
+
+Flag-for-flag parity with the reference CLI
+(/root/reference/torchsr/torchsr.py:157-236) so existing workflows run
+unchanged, with the reference's latent ``torchsr test`` crash fixed
+(--seed now exists on both subcommands; SURVEY.md section 3.2) and a few
+TPU-stack additions: ``--vgg-weights`` (perceptual-loss weight file),
+``--tile``/``--tile-overlap`` (tiled inference), ``--num-devices``
+(mesh size cap), ``--checkpoint`` (explicit test-time checkpoint).
+
+Device selection is implicit: JAX picks up the TPU slice (or CPU) —
+there is no CUDA device-count dance (reference torchsr.py:69-98);
+``--num-devices`` bounds the mesh when needed.
+"""
+
+from __future__ import annotations
+
+import random
+from argparse import ArgumentParser, ArgumentTypeError, Namespace
+
+import numpy as np
+
+from torchsr_tpu.__version__ import VERSION
+from torchsr_tpu.constants import (
+    BATCH_SIZE,
+    EPOCHS,
+    MODEL,
+    PRE_EPOCHS,
+    TRAIN_DIR,
+)
+from torchsr_tpu.registry import (
+    MODEL_NAMES,
+    select_test_model,
+    select_trainer_model,
+)
+
+
+def positive_integer(value: str) -> int:
+    """Argparse type: strictly positive int (reference torchsr.py:36-66)."""
+    try:
+        int_value = int(value)
+    except (TypeError, ValueError):
+        raise ArgumentTypeError(f"invalid int value: '{value}'")
+    if int_value < 1:
+        raise ArgumentTypeError("value must be a positive integer!")
+    return int_value
+
+
+def parse_args(argv: list[str] | None = None) -> Namespace:
+    parser = ArgumentParser(f"torchSR-TPU Version: {VERSION}")
+    commands = parser.add_subparsers(
+        dest="function", metavar="function", required=True
+    )
+
+    train = commands.add_parser(
+        "train", help="Train an SRGAN model against an HD dataset."
+    )
+    train.add_argument(
+        "--batch-size", type=int, default=BATCH_SIZE,
+        help=f"The number of images to include in every batch. "
+             f"Default: {BATCH_SIZE}.",
+    )
+    train.add_argument(
+        "--data-workers", type=int, default=16,
+        help="Number of parallel decode threads for the host data "
+             "pipeline (preprocessing math runs on device).",
+    )
+    train.add_argument(
+        "--dataset-multiplier", type=positive_integer, default=1,
+        help="Artificially increase the dataset size by sampling N "
+             "random crops per image per epoch.",
+    )
+    train.add_argument(
+        "--disable-amp", action="store_true",
+        help="Disable bfloat16 mixed precision (the TPU equivalent of "
+             "CUDA AMP) and train in float32.",
+    )
+    train.add_argument(
+        "--epochs", type=int, default=EPOCHS,
+        help=f"The number of epochs to run training for. "
+             f"Default: {EPOCHS}.",
+    )
+    train.add_argument(
+        "--gan-checkpoint", type=str,
+        help="Existing trained model for the GAN-based training phase.",
+    )
+    train.add_argument(
+        "--master-addr", type=str,
+        help="Address used for multi-host coordination.",
+    )
+    train.add_argument(
+        "--master-port", type=str,
+        help="Port used for multi-host coordination.",
+    )
+    train.add_argument(
+        "--model", type=str, default=MODEL, choices=MODEL_NAMES,
+        help="Select the model to use for super resolution.",
+    )
+    train.add_argument(
+        "--pretrain-epochs", type=int, default=PRE_EPOCHS,
+        help=f"The number of epochs to run pretraining for. "
+             f"Default: {PRE_EPOCHS}.",
+    )
+    train.add_argument(
+        "--psnr-checkpoint", type=str,
+        help="Existing trained model for the PSNR-based training phase.",
+    )
+    train.add_argument(
+        "--seed", type=int, default=0,
+        help="Seed for random number generation (0 keeps the "
+             "deterministic default pipeline seed).",
+    )
+    train.add_argument(
+        "--skip-image-save", action="store_true",
+        help="Skip generating and saving the per-epoch sample image.",
+    )
+    train.add_argument(
+        "--train-dir", type=str, default=TRAIN_DIR,
+        help=f"Directory where training images are stored. "
+             f"Default: {TRAIN_DIR}.",
+    )
+    train.add_argument(
+        "--vgg-weights", type=str,
+        help="Path to a torchvision VGG19 .pth file for the perceptual "
+             "loss (converted automatically). Without it a deterministic "
+             "random-feature VGG is used.",
+    )
+    train.add_argument(
+        "--num-devices", type=int,
+        help="Limit the data-parallel mesh to the first N local devices.",
+    )
+    train.add_argument(
+        "--sample-image", type=str,
+        help="Override the per-epoch progress sample image path "
+             "(default: media/waterfalls-low-res.png).",
+    )
+    train.add_argument(
+        "--crop-size", type=positive_integer,
+        help="Override the HR training crop size (default: 96 for "
+             "SRGAN, 128 for ESRGAN, matching the reference registry).",
+    )
+    train.add_argument(
+        "--gen-blocks", type=positive_integer, dest="num_residual",
+        help="Override the generator residual-block count (16 for "
+             "SRGAN, 23 RRDBs for ESRGAN); smaller = faster/smaller "
+             "models.",
+    )
+    train.add_argument(
+        "--vgg-convs", type=positive_integer,
+        help="Truncate the perceptual-loss VGG19 trunk to the first N "
+             "convolutions (default: the full 16-conv relu5_4 trunk).",
+    )
+
+    test = commands.add_parser(
+        "test",
+        help="Generate a super resolution image based on a trained "
+             "SRGAN model.",
+    )
+    test.add_argument(
+        "image", type=str, help="Filename of image to upres."
+    )
+    test.add_argument(
+        "--model", type=str, default=MODEL, choices=MODEL_NAMES,
+        help="Select the model to use for super resolution.",
+    )
+    test.add_argument(
+        "--seed", type=int, default=0,
+        help="Unused at inference; accepted for CLI compatibility.",
+    )
+    test.add_argument(
+        "--checkpoint", type=str,
+        help="Explicit checkpoint path (.ckpt or reference .pth); "
+             "defaults to {model}-gan-best in the working directory.",
+    )
+    test.add_argument(
+        "--tile", type=int, default=0,
+        help="Tile size for tiled overlap-blend inference (0 = one "
+             "whole-image forward like the reference).",
+    )
+    test.add_argument(
+        "--tile-overlap", type=int, default=16,
+        help="Halo overlap between inference tiles, in LR pixels.",
+    )
+    test.add_argument(
+        "--tile-batch", type=int, default=8,
+        help="Tiles per generator forward during tiled inference.",
+    )
+    return parser.parse_args(argv)
+
+
+def main(argv: list[str] | None = None) -> None:
+    args = parse_args(argv)
+
+    if args.seed:
+        random.seed(args.seed)
+        np.random.seed(args.seed)
+
+    if args.function == "test":
+        from torchsr_tpu.infer.runner import run_test
+
+        model_cls = select_test_model(args)
+        out = run_test(args, model_cls)
+        print(f"Saved super-resolution image to {out}")
+        return
+
+    from torchsr_tpu.data.loader import initialize_datasets
+    from torchsr_tpu.parallel.mesh import detect_distributed, make_mesh
+
+    dist_ctx = detect_distributed(args.master_addr, args.master_port)
+    trainer_cls, crop_size = select_trainer_model(args)
+    if getattr(args, "crop_size", None):
+        crop_size = args.crop_size
+
+    import jax
+
+    mesh = make_mesh(getattr(args, "num_devices", None))
+    train_loader, test_loader, train_len, test_len = initialize_datasets(
+        args.train_dir,
+        batch_size=args.batch_size,
+        crop_size=crop_size,
+        dataset_multiplier=args.dataset_multiplier,
+        workers=args.data_workers,
+        num_shards=jax.process_count(),
+        shard_index=jax.process_index(),
+        seed=args.seed,
+    )
+    trainer = trainer_cls(
+        args, train_loader, test_loader, train_len, test_len,
+        mesh, dist_ctx,
+    )
+    trainer.train()
+
+
+if __name__ == "__main__":
+    main()

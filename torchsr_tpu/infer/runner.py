@@ -1,0 +1,71 @@
+"""The ``test`` subcommand: load a trained generator, upscale one image.
+
+Capability parity with the reference's inference path (test.py:22-63)
+with its two latent bugs fixed (SURVEY.md section 3.2):
+  * works whether or not the checkpoint was saved with a DDP ``module.``
+    prefix (the reference NameErrors on non-DDP checkpoints);
+  * output name is ``upres-{basename}`` so input paths containing
+    directories don't break the save.
+
+Accepts both our ``.ckpt`` checkpoints and reference ``.pth`` files, and
+upgrades the monolithic whole-image forward with optional tiled
+overlap-blend inference (``--tile``) for arbitrarily large inputs.
+"""
+
+from __future__ import annotations
+
+import os
+from argparse import Namespace
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from torchsr_tpu.infer.tiled import upscale_image
+from torchsr_tpu.utils import image_io
+from torchsr_tpu.utils.checkpoint import find_checkpoint, load_checkpoint
+
+
+def run_test(args: Namespace, generator_cls) -> str:
+    """Upscale ``args.image`` with the best GAN checkpoint; return path."""
+    model = args.model.lower()
+    ckpt_path = getattr(args, "checkpoint", None) or find_checkpoint(
+        f"{model}-gan-best.ckpt"
+    )
+    if ckpt_path is None:
+        raise FileNotFoundError(
+            f"no checkpoint found (looked for {model}-gan-best.ckpt / "
+            f".pth in the working directory); train a model first or "
+            f"pass --checkpoint"
+        )
+    checkpoint = load_checkpoint(ckpt_path, model)
+    state = checkpoint["state"]
+    params = state.get("params", state)
+    batch_stats = state.get("batch_stats", {})
+
+    # Size the generator to the checkpoint (block count is encoded in
+    # the param tree's block{i} entries).
+    num_blocks = len([k for k in params if str(k).startswith("block")])
+    if model == "esrgan":
+        generator = generator_cls(num_rrdb_blocks=num_blocks or 23)
+    else:
+        generator = generator_cls(num_residual=num_blocks or 16)
+
+    def infer_fn(batch: jnp.ndarray) -> jnp.ndarray:
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        return generator.apply(variables, batch, train=False)
+
+    image = image_io.load_image(args.image)
+    sr = upscale_image(
+        jax.jit(infer_fn),
+        image,
+        scale=4,
+        tile=getattr(args, "tile", 0) or 0,
+        overlap=getattr(args, "tile_overlap", 16),
+        tile_batch=getattr(args, "tile_batch", 8),
+    )
+    out_path = f"upres-{os.path.basename(args.image)}"
+    image_io.save_image(np.asarray(sr), out_path)
+    return out_path

@@ -45,9 +45,14 @@ _he_normal = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
 
 
 class VGG19Features(nn.Module):
-    """VGG19 trunk through relu5_4; returns the final feature map (NHWC)."""
+    """VGG19 trunk through relu5_4; returns the final feature map (NHWC).
+
+    ``max_convs`` truncates the trunk to the first N convolutions —
+    useful for fast tests; None = the full features[:36] trunk.
+    """
 
     dtype: Any = None
+    max_convs: int | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -55,6 +60,8 @@ class VGG19Features(nn.Module):
         out = x.astype(dtype)
         conv_idx = 0
         for item in VGG19_CFG_36:
+            if self.max_convs is not None and conv_idx >= self.max_convs:
+                break
             if item == "M":
                 out = nn.max_pool(out, (2, 2), strides=(2, 2))
             else:

@@ -99,3 +99,12 @@ def ssim(
         (mu_pp + mu_tt + c1) * (var_p + var_t + c2)
     )
     return jnp.mean(ssim_map)
+
+
+def ssim_per_sample(
+    pred: jnp.ndarray, target: jnp.ndarray, **kwargs
+) -> jnp.ndarray:
+    """Per-sample mean SSIM (B,) — used for masked (padded-batch) evals."""
+    return jax.vmap(lambda p, t: ssim(p[None], t[None], **kwargs))(
+        pred, target
+    )

@@ -1,0 +1,88 @@
+"""Functional training state for the two-phase GAN recipe.
+
+One immutable pytree holds everything the jitted train steps thread
+through: generator/discriminator params + batch statistics and the three
+optimizer states (the reference's psnr/gen/disc Adam trio,
+srgan/trainer.py:167-196).  Learning-rate scheduling is applied by
+passing the scalar LR into the step (host computes the StepLR value per
+epoch), so the optimizer transform itself is stateless in the schedule.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+
+def make_adam(b1: float = 0.9, b2: float = 0.999) -> optax.GradientTransformation:
+    """Adam without a baked-in LR; the step multiplies by the LR scalar.
+
+    Equivalent to ``optim.Adam(lr, betas=(0.9, 0.999))``
+    (srgan/trainer.py:171-185) with the LR factored out so StepLR-style
+    epoch scheduling is a host-side scalar, not optimizer state surgery.
+    """
+    return optax.chain(optax.scale_by_adam(b1=b1, b2=b2), optax.scale(-1.0))
+
+
+def apply_updates(params, grads, opt_state, opt, lr):
+    """One optimizer step at learning rate ``lr`` (a traced scalar)."""
+    updates, new_opt_state = opt.update(grads, opt_state, params)
+    updates = jax.tree.map(lambda u: u * lr, updates)
+    return optax.apply_updates(params, updates), new_opt_state
+
+
+class GANTrainState(struct.PyTreeNode):
+    """Everything mutable across a training run, as one pytree."""
+
+    gen_params: Any
+    gen_stats: Any
+    disc_params: Any
+    disc_stats: Any
+    psnr_opt_state: Any
+    gen_opt_state: Any
+    disc_opt_state: Any
+    step: jnp.ndarray  # global optimizer step counter (int32)
+
+
+def init_gan_state(
+    rng: jax.Array,
+    generator,
+    discriminator,
+    lr_shape: tuple[int, ...],
+    hr_shape: tuple[int, ...],
+    opt: optax.GradientTransformation,
+) -> GANTrainState:
+    """Initialize models and the three optimizer states."""
+    g_rng, d_rng = jax.random.split(rng)
+    gen_vars = generator.init(g_rng, jnp.zeros(lr_shape), train=False)
+    disc_vars = discriminator.init(d_rng, jnp.zeros(hr_shape), train=False)
+    gen_params = gen_vars["params"]
+    gen_stats = gen_vars.get("batch_stats", {})
+    disc_params = disc_vars["params"]
+    disc_stats = disc_vars.get("batch_stats", {})
+    return GANTrainState(
+        gen_params=gen_params,
+        gen_stats=gen_stats,
+        disc_params=disc_params,
+        disc_stats=disc_stats,
+        psnr_opt_state=opt.init(gen_params),
+        gen_opt_state=opt.init(gen_params),
+        disc_opt_state=opt.init(disc_params),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def step_lr_schedule(
+    base_lr: float, epoch: int, total_epochs: int, gamma: float = 0.6
+) -> float:
+    """StepLR(step_size=epochs//8, gamma=0.6), stepped once per epoch.
+
+    Reference srgan/trainer.py:186-195; ``epoch`` is 1-based and the
+    scheduler has been stepped ``epoch - 1`` times at that epoch's start.
+    """
+    step_size = max(total_epochs // 8, 1)
+    return base_lr * (gamma ** ((epoch - 1) // step_size))

@@ -1,0 +1,695 @@
+"""Two-phase GAN trainers (PSNR pretrain -> adversarial), TPU-native.
+
+Capability parity with the reference trainers
+(/root/reference/torchsr/srgan/trainer.py:39-543,
+esrgan/trainer.py:39-560), redesigned around JAX:
+
+  * The hot loops are three jitted pure functions —
+    ``pretrain_step``, ``gan_step``, ``eval_step`` — compiled once per
+    phase, with the training state donated (in-place buffer reuse).
+  * Mixed precision is a bfloat16 compute policy (params f32); there is
+    no GradScaler because bf16 keeps f32's exponent range.  This covers
+    the reference's AMP (and upgrades SRGAN's GAN phase, which the
+    reference accidentally leaves in full precision,
+    srgan/trainer.py:444-469).
+  * Data parallelism: the batch arrives sharded over the mesh's 'data'
+    axis and params replicated, so XLA emits one gradient all-reduce
+    over ICI per step — the DDP allreduce without DDP.  BatchNorm
+    reductions become cross-replica (sync-BN) automatically, which
+    upgrades the reference's per-replica stats
+    (``broadcast_buffers=False``, srgan/trainer.py:142-157).
+  * Eval metrics are computed over the *global* (all-shard) batch —
+    the reference logs only rank 0's local shard metrics
+    (srgan/trainer.py:296-327).
+  * LR schedule: the host computes the StepLR value per epoch and passes
+    the scalar into the jitted step.
+
+Loss wiring (identical formulas to the reference, SURVEY.md section 2
+#13/#17):
+  SRGAN:  pretrain MSE; disc BCE(D(hr),1)+BCE(D(sr'),0);
+          gen VGG_L1 + 0.001*BCE(D(sr),1).
+  ESRGAN: pretrain L1; relativistic-average disc
+          [BCEwL(D(hr)-mean D(sr),1)+BCEwL(D(sr)-mean D(hr),0)]/2;
+          gen 0.01*L1 + VGG_L1 + 0.005*BCEwL(D(sr)-mean D(hr),1).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import time
+from argparse import Namespace
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from tqdm import tqdm
+
+from torchsr_tpu.models import (
+    ESRGANDiscriminator,
+    ESRGANGenerator,
+    SRGANDiscriminator,
+    SRGANGenerator,
+    VGG19Features,
+)
+from torchsr_tpu.data.preprocess import (
+    synthesize_eval_triple,
+    synthesize_pair,
+)
+from torchsr_tpu.parallel.mesh import put_batch, replicate
+from torchsr_tpu.train import losses as L
+from torchsr_tpu.train.metrics import psnr_per_sample, ssim_per_sample
+from torchsr_tpu.train.state import (
+    GANTrainState,
+    apply_updates,
+    init_gan_state,
+    make_adam,
+    step_lr_schedule,
+)
+from torchsr_tpu.utils import image_io
+from torchsr_tpu.utils.checkpoint import (
+    find_checkpoint,
+    load_checkpoint,
+    save_checkpoint,
+)
+from torchsr_tpu.utils.logging import Logger
+
+BASE_LR = 1e-4
+SAMPLE_IMAGE_PATH = os.path.join("media", "waterfalls-low-res.png")
+
+
+class GANTrainer:
+    """Shared two-phase trainer machinery; subclasses wire the losses."""
+
+    model_name: str = ""
+
+    def __init__(
+        self,
+        args: Namespace,
+        train_loader,
+        test_loader,
+        train_len: int,
+        test_len: int,
+        mesh,
+        dist_ctx,
+        logger: Logger | None = None,
+    ) -> None:
+        self.args = args
+        self.amp = not getattr(args, "disable_amp", False)
+        self.batch_size = args.batch_size
+        self.best_psnr = -1.0
+        self.epochs = args.epochs
+        self.pre_epochs = args.pretrain_epochs
+        self.gan_checkpoint = getattr(args, "gan_checkpoint", None)
+        self.psnr_checkpoint = getattr(args, "psnr_checkpoint", None)
+        self.save_image = not getattr(args, "skip_image_save", False)
+        self.train_loader = train_loader
+        self.test_loader = test_loader
+        self.train_len = train_len
+        self.test_len = test_len
+        self.mesh = mesh
+        self.dist = dist_ctx
+        self.world_size = dist_ctx.world_size
+        self.main_process = dist_ctx.main_process
+        self.upscale = getattr(args, "upscale_factor", 4)
+        self.crop_size = train_loader.crop_size
+        self.seed = getattr(args, "seed", 0) or 0
+
+        self.logger = logger or Logger(self.main_process, config=vars(args))
+
+        global_batch = self.batch_size * jax.process_count()
+        n_devices = int(np.prod([d for d in mesh.devices.shape])) \
+            if hasattr(mesh.devices, "shape") else len(mesh.devices)
+        if global_batch % n_devices != 0:
+            raise ValueError(
+                f"global batch size {global_batch} (batch-size x "
+                f"processes) must be divisible by the {n_devices}-device "
+                f"mesh for data-parallel sharding"
+            )
+
+        compute_dtype = jnp.bfloat16 if self.amp else jnp.float32
+        self._build_models(compute_dtype)
+        self._initialize_state()
+        self._build_steps()
+        self._load_sample_image()
+
+    # ---------------------------------------------------------- models
+
+    def _build_models(self, dtype) -> None:
+        raise NotImplementedError
+
+    def _pixel_loss(self, sr, hr):
+        """Pretrain/eval loss: MSE for SRGAN, L1 for ESRGAN."""
+        raise NotImplementedError
+
+    def _disc_gen_losses(self):
+        """Return (disc_loss_fn, gen_extra_fn) — subclass loss wiring."""
+        raise NotImplementedError
+
+    def _initialize_state(self) -> None:
+        self.opt = make_adam()
+        lr_size = self.crop_size // self.upscale
+        rng = jax.random.PRNGKey(self.seed)
+        state = init_gan_state(
+            rng,
+            self.gen_train,
+            self.disc_train,
+            (1, lr_size, lr_size, 3),
+            (1, self.crop_size, self.crop_size, 3),
+            self.opt,
+        )
+        vgg_rng = jax.random.PRNGKey(self.seed + 7)
+        vgg_vars = self.vgg.init(
+            vgg_rng, jnp.zeros((1, self.crop_size, self.crop_size, 3))
+        )
+        vgg_params = vgg_vars["params"]
+        vgg_path = getattr(self.args, "vgg_weights", None)
+        if vgg_path and os.path.exists(vgg_path):
+            from torchsr_tpu.models import torch_compat
+
+            raw = torch_compat.load_torch_checkpoint(vgg_path)
+            sd = raw.get("state_dict", raw) if isinstance(raw, dict) else raw
+            if not any(k.startswith("features.") for k in sd):
+                sd = {f"features.{k}": v for k, v in sd.items()}
+            vgg_params = torch_compat.convert_vgg19(sd)["params"]
+            self.logger.log(f"Loaded VGG19 weights from {vgg_path}")
+        self.state = replicate(state, self.mesh)
+        self.vgg_params = replicate(vgg_params, self.mesh)
+
+    # ----------------------------------------------------- jitted steps
+
+    def _build_steps(self) -> None:
+        gen_t, disc_t = self.gen_train, self.disc_train
+        gen_e = self.gen_eval
+        opt = self.opt
+        pixel_loss = self._pixel_loss
+        disc_loss_fn, gen_loss_terms = self._disc_gen_losses()
+        vgg = self.vgg
+
+        def _gen_apply(params, stats, x, train):
+            module = gen_t if train else gen_e
+            variables = {"params": params}
+            if stats:
+                variables["batch_stats"] = stats
+            if train:
+                out, mut = module.apply(
+                    variables, x, train=True, mutable=["batch_stats"]
+                )
+                return out, mut.get("batch_stats", stats)
+            return module.apply(variables, x, train=False), stats
+
+        def _disc_apply(params, stats, x):
+            variables = {"params": params}
+            if stats:
+                variables["batch_stats"] = stats
+            out, mut = disc_t.apply(
+                variables, x, train=True, mutable=["batch_stats"]
+            )
+            return out, mut.get("batch_stats", stats)
+
+        def pretrain_step(state: GANTrainState, crops_u8, flips):
+            lr_img, hr_img = synthesize_pair(
+                crops_u8, flips, upscale_factor=self.upscale
+            )
+
+            def loss_fn(gen_params):
+                sr, new_stats = _gen_apply(
+                    gen_params, state.gen_stats, lr_img, True
+                )
+                return pixel_loss(sr, hr_img), new_stats
+
+            (loss, new_stats), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.gen_params)
+            new_params, new_opt = apply_updates(
+                state.gen_params, grads, state.psnr_opt_state, opt, BASE_LR
+            )
+            state = state.replace(
+                gen_params=new_params,
+                gen_stats=new_stats,
+                psnr_opt_state=new_opt,
+                step=state.step + 1,
+            )
+            return state, loss
+
+        def gan_step(state: GANTrainState, crops_u8, flips, gen_lr, disc_lr):
+            lr_img, hr_img = synthesize_pair(
+                crops_u8, flips, upscale_factor=self.upscale
+            )
+            # Generator forward (the one whose output feeds the disc
+            # update; reference srgan/trainer.py:444 / esrgan :447).
+            sr, gen_stats1 = _gen_apply(
+                state.gen_params, state.gen_stats, lr_img, True
+            )
+            sr_sg = jax.lax.stop_gradient(sr)
+
+            def d_loss(disc_params):
+                real, stats1 = _disc_apply(
+                    disc_params, state.disc_stats, hr_img
+                )
+                fake, stats2 = _disc_apply(disc_params, stats1, sr_sg)
+                return disc_loss_fn(real, fake), stats2
+
+            (disc_loss_val, disc_stats1), dgrads = jax.value_and_grad(
+                d_loss, has_aux=True
+            )(state.disc_params)
+            new_disc_params, new_disc_opt = apply_updates(
+                state.disc_params, dgrads, state.disc_opt_state, opt, disc_lr
+            )
+
+            # Generator update sees the *updated* discriminator
+            # (reference steps disc_optimizer before the gen losses).
+            hr_sg = jax.lax.stop_gradient(hr_img)
+
+            def g_loss(gen_params):
+                sr2, gen_stats2 = _gen_apply(
+                    gen_params, gen_stats1, lr_img, True
+                )
+                feat_sr = vgg.apply({"params": self.vgg_params}, sr2)
+                feat_hr = vgg.apply({"params": self.vgg_params}, hr_sg)
+                content = L.l1_loss(feat_sr, feat_hr)
+                loss, disc_stats2 = gen_loss_terms(
+                    _disc_apply, new_disc_params, disc_stats1,
+                    sr2, hr_sg, content,
+                )
+                return loss, (gen_stats2, disc_stats2)
+
+            (gen_loss_val, (gen_stats2, disc_stats2)), ggrads = (
+                jax.value_and_grad(g_loss, has_aux=True)(state.gen_params)
+            )
+            new_gen_params, new_gen_opt = apply_updates(
+                state.gen_params, ggrads, state.gen_opt_state, opt, gen_lr
+            )
+            state = state.replace(
+                gen_params=new_gen_params,
+                gen_stats=gen_stats2,
+                disc_params=new_disc_params,
+                disc_stats=disc_stats2,
+                gen_opt_state=new_gen_opt,
+                disc_opt_state=new_disc_opt,
+                step=state.step + 1,
+            )
+            return state, {
+                "disc_loss": disc_loss_val,
+                "gen_loss": gen_loss_val,
+            }
+
+        def eval_step(gen_params, gen_stats, crops_u8, valid):
+            lr_img, _bic, hr_img = synthesize_eval_triple(
+                crops_u8, upscale_factor=self.upscale
+            )
+            sr, _ = _gen_apply(gen_params, gen_stats, lr_img, False)
+            mask = (
+                jnp.arange(sr.shape[0]) < valid
+            ).astype(jnp.float32)
+            denom = jnp.maximum(jnp.sum(mask), 1.0)
+            psnr_b = jnp.sum(psnr_per_sample(sr, hr_img) * mask) / denom
+            ssim_b = jnp.sum(ssim_per_sample(sr, hr_img) * mask) / denom
+            per = jax.vmap(pixel_loss)(sr, hr_img)
+            loss_b = jnp.sum(per * mask) / denom
+            return psnr_b, ssim_b, loss_b
+
+        donate = functools.partial(jax.jit, donate_argnums=(0,))
+        self.pretrain_step = donate(pretrain_step)
+        self.gan_step = donate(gan_step)
+        self.eval_step = jax.jit(eval_step)
+        self.infer = jax.jit(
+            lambda params, stats, x: _gen_apply(params, stats, x, False)[0]
+        )
+
+    # ------------------------------------------------------- utilities
+
+    def _load_sample_image(self) -> None:
+        """Load the fixed progress-sample image if present.
+
+        The reference hard-requires ``media/waterfalls-low-res.png``
+        relative to the CWD and crashes otherwise
+        (srgan/trainer.py:128-134); we degrade to skipping the render.
+        """
+        self.sample_image = None
+        path = getattr(self.args, "sample_image", None) or SAMPLE_IMAGE_PATH
+        if self.save_image and self.main_process and os.path.exists(path):
+            arr = image_io.load_image(path).astype(np.float32) / 255.0
+            self.sample_image = arr[None]
+        if self.save_image and self.main_process:
+            os.makedirs("output", exist_ok=True)
+
+    def _generator_state(self) -> dict:
+        return {
+            "params": jax.device_get(self.state.gen_params),
+            "batch_stats": jax.device_get(self.state.gen_stats),
+        }
+
+    def _full_state(self) -> dict:
+        host = jax.device_get(self.state)
+        return {
+            "disc_params": host.disc_params,
+            "disc_stats": host.disc_stats,
+            "psnr_opt_state": host.psnr_opt_state,
+            "gen_opt_state": host.gen_opt_state,
+            "disc_opt_state": host.disc_opt_state,
+            "step": host.step,
+            "best_psnr": float(self.best_psnr),
+        }
+
+    def _restore(self, checkpoint: dict, phase: str) -> int:
+        """Install checkpoint contents into the live state; return epoch."""
+        state_dict = checkpoint["state"]
+        new_params = state_dict.get("params", state_dict)
+        new_stats = state_dict.get("batch_stats", {})
+        updates = {
+            "gen_params": _match_tree(
+                jax.device_get(self.state.gen_params), new_params
+            ),
+        }
+        if new_stats:
+            updates["gen_stats"] = _match_tree(
+                jax.device_get(self.state.gen_stats), new_stats
+            )
+        extra = checkpoint.get("extra")
+        if extra:
+            for key in (
+                "disc_params", "disc_stats", "psnr_opt_state",
+                "gen_opt_state", "disc_opt_state", "step",
+            ):
+                if key in extra:
+                    updates[key] = _match_tree(
+                        jax.device_get(getattr(self.state, key)),
+                        extra[key],
+                    )
+            if "best_psnr" in extra and phase in checkpoint.get("phase", ""):
+                self.best_psnr = float(extra["best_psnr"])
+        host_state = jax.device_get(self.state).replace(**updates)
+        self.state = replicate(host_state, self.mesh)
+        return int(checkpoint.get("epoch", 1))
+
+    def _save(self, epoch: int, phase: str, kind: str) -> None:
+        if not self.main_process:
+            return
+        save_checkpoint(
+            f"{phase}-{kind}.ckpt",
+            epoch,
+            phase,
+            self._generator_state(),
+            extra=self._full_state(),
+        )
+
+    def _put(self, *arrays):
+        return put_batch(tuple(arrays), self.mesh)
+
+    # ------------------------------------------------------------ eval
+
+    def _test(self, epoch: int, phase: str, step: int) -> None:
+        """Validation pass: PSNR/SSIM/val-loss + best/latest checkpoints.
+
+        Metric-key and checkpoint-name contract identical to the
+        reference ``_test`` (srgan/trainer.py:260-343), with ``SSIM``
+        added.
+        """
+        self.logger.log(f"Testing results after epoch {epoch}")
+        psnr_total, ssim_total, loss_total = 0.0, 0.0, 0.0
+        batches = 0
+        start_time = time.time()
+        gen_params, gen_stats = self.state.gen_params, self.state.gen_stats
+        for crops, valid in tqdm(
+            self.test_loader, disable=not self.main_process
+        ):
+            (crops_dev,) = self._put(crops)
+            p, s, l = self.eval_step(gen_params, gen_stats, crops_dev, valid)
+            psnr_total += float(p)
+            ssim_total += float(s)
+            loss_total += float(l)
+            batches += 1
+        time_taken = max(time.time() - start_time, 1e-9)
+        throughput = (
+            len(self.test_loader) * self.batch_size * self.world_size
+            / time_taken
+        )
+        psnr_avg = psnr_total / max(batches, 1)
+        ssim_avg = ssim_total / max(batches, 1)
+        loss_avg = loss_total / max(batches, 1)
+
+        self.logger.log(
+            f"PSNR: {round(psnr_avg, 3)}, SSIM: {round(ssim_avg, 4)}, "
+            f"Throughput: {round(throughput, 3)} images/sec"
+        )
+        short_phase = "".join(phase.split("-")[1:])
+        self.logger.log_wandb(
+            {
+                f"{short_phase}/PSNR": psnr_avg,
+                f"{short_phase}/SSIM": ssim_avg,
+                f"{short_phase}/val-loss": loss_avg,
+                f"{short_phase}/throughput/test": throughput,
+                f"{short_phase}/epoch": epoch,
+            },
+            step=step,
+        )
+
+        if psnr_avg > self.best_psnr:
+            self.best_psnr = psnr_avg
+            self._save(epoch, phase, "best")
+        self._save(epoch, phase, "latest")
+        self._render_sample(epoch)
+
+    def _render_sample(self, epoch: int) -> None:
+        if self.sample_image is None or not self.main_process:
+            return
+        sr = self.infer(
+            self.state.gen_params, self.state.gen_stats, self.sample_image
+        )
+        image_io.save_image(
+            np.asarray(sr[0]), os.path.join("output", f"SR_epoch{epoch}.png")
+        )
+        self.logger.log_image(
+            f"images/epoch{epoch}", image_io.to_uint8(np.asarray(sr[0]))
+        )
+
+    # --------------------------------------------------------- phases
+
+    def _pretrain(self) -> None:
+        self.logger.log("=" * 80)
+        self.logger.log("Starting pre-training")
+        epoch = 1
+        path = find_checkpoint(
+            self.psnr_checkpoint, f"{self.model_name}-psnr-latest.ckpt"
+        )
+        checkpoint = load_checkpoint(path, self.model_name)
+        if checkpoint:
+            epoch = self._restore(checkpoint, "psnr")
+            self.logger.log(f"Resuming pre-training from epoch {epoch}")
+
+        step = 0
+        for epoch in range(epoch, self.pre_epochs + 1):
+            self.logger.log("-" * 80)
+            self.logger.log(
+                f"Starting epoch {epoch} out of {self.pre_epochs}"
+            )
+            start_time = time.time()
+            for sub_step, (crops, flips) in enumerate(
+                tqdm(
+                    self.train_loader.epoch(epoch - 1),
+                    total=len(self.train_loader),
+                    disable=not self.main_process,
+                )
+            ):
+                crops_dev, flips_dev = self._put(crops, flips)
+                self.state, loss = self.pretrain_step(
+                    self.state, crops_dev, flips_dev
+                )
+                step = (
+                    sub_step * self.batch_size * self.world_size
+                    + (epoch - 1) * self.train_len
+                )
+                self.logger.log_wandb(
+                    {"psnr/train-loss": float(loss), "psnr/epoch": epoch},
+                    step=step,
+                )
+            jax.block_until_ready(self.state.gen_params)
+            time_taken = max(time.time() - start_time, 1e-9)
+            throughput = (
+                len(self.train_loader) * self.batch_size * self.world_size
+                / time_taken
+            )
+            self.logger.log(
+                f"Throughput: {round(throughput, 3)} images/sec"
+            )
+            self.logger.log_wandb(
+                {"psnr/throughput/train": throughput, "psnr/epoch": epoch},
+                step=step,
+            )
+            self._test(epoch, f"{self.model_name}-psnr", step)
+
+    def _gan_train(self) -> None:
+        self.logger.log("=" * 80)
+        self.logger.log("Starting training loop")
+        epoch = 1
+        self.best_psnr = -1.0
+
+        # Resume priority: explicit GAN ckpt > gan-latest > psnr-latest
+        # (reference srgan/trainer.py:482-498).
+        path = find_checkpoint(
+            self.gan_checkpoint, f"{self.model_name}-gan-latest.ckpt"
+        )
+        checkpoint = load_checkpoint(path, self.model_name)
+        if checkpoint:
+            epoch = self._restore(checkpoint, "gan")
+            self.logger.log(f"Resuming GAN training from epoch {epoch}")
+        else:
+            checkpoint = load_checkpoint(
+                find_checkpoint(f"{self.model_name}-psnr-latest.ckpt"),
+                self.model_name,
+            )
+            if checkpoint:
+                self._restore(checkpoint, "psnr")
+                self.logger.log("Initialized GAN phase from PSNR weights")
+
+        step = 0
+        for epoch in range(epoch, self.epochs + 1):
+            self.logger.log("-" * 80)
+            self.logger.log(f"Starting epoch {epoch} out of {self.epochs}")
+            gen_lr = step_lr_schedule(BASE_LR, epoch, self.epochs)
+            disc_lr = step_lr_schedule(BASE_LR, epoch, self.epochs)
+            start_time = time.time()
+            for sub_step, (crops, flips) in enumerate(
+                tqdm(
+                    self.train_loader.epoch(self.pre_epochs + epoch - 1),
+                    total=len(self.train_loader),
+                    disable=not self.main_process,
+                )
+            ):
+                step = (
+                    sub_step * self.batch_size * self.world_size
+                    + (self.pre_epochs + epoch - 1) * self.train_len
+                )
+                crops_dev, flips_dev = self._put(crops, flips)
+                self.state, metrics = self.gan_step(
+                    self.state, crops_dev, flips_dev, gen_lr, disc_lr
+                )
+                self.logger.log_wandb(
+                    {
+                        "gan/disc-lr": disc_lr,
+                        "gan/gen-lr": gen_lr,
+                        "gan/train-loss": float(metrics["gen_loss"]),
+                    },
+                    step=step,
+                )
+            jax.block_until_ready(self.state.gen_params)
+            time_taken = max(time.time() - start_time, 1e-9)
+            throughput = (
+                len(self.train_loader) * self.batch_size * self.world_size
+                / time_taken
+            )
+            self.logger.log(
+                f"Throughput: {round(throughput, 3)} images/sec"
+            )
+            self.logger.log_wandb(
+                {"gan/throughput/train": throughput, "gan/epoch": epoch},
+                step=step,
+            )
+            self._test(epoch, f"{self.model_name}-gan", step)
+
+    def train(self) -> None:
+        """Pretrain then GAN-train (reference srgan/trainer.py:533-543)."""
+        self._pretrain()
+        self._gan_train()
+        self.logger.finish()
+
+
+def _match_tree(template, loaded):
+    """Structure-match a loaded (possibly list-keyed msgpack) tree onto a
+    template pytree, casting leaves to the template's dtypes."""
+    flat_template, treedef = jax.tree.flatten(template)
+    flat_loaded = jax.tree.leaves(loaded)
+    if len(flat_template) != len(flat_loaded):
+        raise ValueError(
+            f"checkpoint structure mismatch: {len(flat_loaded)} leaves "
+            f"loaded vs {len(flat_template)} expected"
+        )
+    cast = [
+        np.asarray(l).astype(np.asarray(t).dtype).reshape(np.shape(t))
+        for t, l in zip(flat_template, flat_loaded)
+    ]
+    return jax.tree.unflatten(treedef, cast)
+
+
+class SRGANTrainer(GANTrainer):
+    """SRGAN recipe: MSE pretrain; BCE GAN; VGG + 0.001*adv generator."""
+
+    model_name = "srgan"
+
+    def _build_models(self, dtype) -> None:
+        blocks = getattr(self.args, "num_residual", None) or 16
+        vgg_convs = getattr(self.args, "vgg_convs", None)
+        self.gen_train = SRGANGenerator(num_residual=blocks, dtype=dtype)
+        self.gen_eval = SRGANGenerator(num_residual=blocks)
+        self.disc_train = SRGANDiscriminator(
+            image_size=self.crop_size, dtype=dtype
+        )
+        self.vgg = VGG19Features(dtype=dtype, max_convs=vgg_convs)
+
+    def _pixel_loss(self, sr, hr):
+        return L.mse_loss(sr, hr)
+
+    def _disc_gen_losses(self):
+        def disc_loss(real, fake):
+            ones = jnp.ones_like(real)
+            zeros = jnp.zeros_like(fake)
+            return L.bce_loss(real, ones) + L.bce_loss(fake, zeros)
+
+        def gen_terms(disc_apply, disc_params, disc_stats, sr, hr, content):
+            # gen loss = content + 0.001 * BCE(D(sr), 1)
+            # (reference srgan/trainer.py:455-457)
+            del hr
+            out, new_stats = disc_apply(disc_params, disc_stats, sr)
+            adv = L.bce_loss(out, jnp.ones_like(out))
+            return content + 0.001 * adv, new_stats
+
+        return disc_loss, gen_terms
+
+
+class ESRGANTrainer(GANTrainer):
+    """ESRGAN recipe: L1 pretrain; relativistic-average GAN."""
+
+    model_name = "esrgan"
+
+    def _build_models(self, dtype) -> None:
+        blocks = getattr(self.args, "num_residual", None) or 23
+        vgg_convs = getattr(self.args, "vgg_convs", None)
+        self.gen_train = ESRGANGenerator(
+            num_rrdb_blocks=blocks, dtype=dtype
+        )
+        self.gen_eval = ESRGANGenerator(num_rrdb_blocks=blocks)
+        self.disc_train = ESRGANDiscriminator(
+            image_size=self.crop_size, dtype=dtype
+        )
+        self.vgg = VGG19Features(dtype=dtype, max_convs=vgg_convs)
+
+    def _pixel_loss(self, sr, hr):
+        return L.l1_loss(sr, hr)
+
+    def _disc_gen_losses(self):
+        def disc_loss(real, fake):
+            # [BCEwL(D(hr)-mean D(sr), 1) + BCEwL(D(sr)-mean D(hr), 0)]/2
+            # (reference esrgan/trainer.py:446-453)
+            ones = jnp.ones_like(real)
+            zeros = jnp.zeros_like(fake)
+            loss_real = L.bce_with_logits_loss(
+                real - jnp.mean(fake), ones
+            )
+            loss_fake = L.bce_with_logits_loss(
+                fake - jnp.mean(real), zeros
+            )
+            return (loss_real + loss_fake) / 2.0
+
+        def gen_terms(disc_apply, disc_params, disc_stats, sr, hr, content):
+            # 0.01*L1 + 1*content + 0.005*BCEwL(D(sr)-mean D(hr), 1)
+            # (reference esrgan/trainer.py:461-469)
+            real, stats1 = disc_apply(disc_params, disc_stats, hr)
+            fake, stats2 = disc_apply(disc_params, stats1, sr)
+            pixel = L.l1_loss(sr, hr)
+            adv = L.bce_with_logits_loss(
+                fake - jnp.mean(real), jnp.ones_like(fake)
+            )
+            return 0.01 * pixel + content + 0.005 * adv, stats2
+
+        return disc_loss, gen_terms

@@ -1,0 +1,46 @@
+"""Observability: main-process logging, optional WandB, tqdm.
+
+Preserves the reference's metric-key contract exactly (SURVEY.md
+section 5): ``psnr/train-loss``, ``psnr/epoch``,
+``psnr/throughput/train``, ``{psnr|gan}/PSNR``, ``{..}/val-loss``,
+``{..}/throughput/test``, ``{..}/epoch``, ``gan/disc-lr``,
+``gan/gen-lr``, ``gan/train-loss``, ``gan/throughput/train``,
+``images/epoch{N}`` — plus new ``{..}/SSIM`` keys (SSIM is additive
+capability over the reference).
+"""
+
+from __future__ import annotations
+
+try:
+    import wandb
+except ImportError:  # wandb is optional, like the reference (torchsr.py:18-21)
+    wandb = None
+
+
+class Logger:
+    """Main-process-gated print + WandB logging."""
+
+    def __init__(self, main_process: bool, config=None) -> None:
+        self.main_process = main_process
+        self._wandb_run = None
+        if wandb and main_process:
+            self._wandb_run = wandb.init(
+                config=config, name="TorchSR", project="torchsr"
+            )
+
+    def log(self, statement: str) -> None:
+        """Print only on the main process (reference srgan/trainer.py:207-217)."""
+        if self.main_process:
+            print(statement, flush=True)
+
+    def log_wandb(self, contents: dict, step: int | None = None) -> None:
+        if wandb and self.main_process:
+            wandb.log(contents, step=step)
+
+    def log_image(self, key: str, image) -> None:
+        if wandb and self.main_process:
+            wandb.log({key: wandb.Image(image)})
+
+    def finish(self) -> None:
+        if wandb and self._wandb_run is not None:
+            wandb.finish()
