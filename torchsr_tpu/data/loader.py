@@ -61,18 +61,38 @@ class _ImageCache:
         return arr
 
 
-def _random_crop(
-    img: np.ndarray, size: int, rng: np.random.Generator
-) -> np.ndarray:
-    h, w = img.shape[:2]
+_M64 = (1 << 64) - 1
+
+
+def _splitmix64(x: int) -> int:
+    """One splitmix64 mixing round — a fast, well-distributed 64-bit
+    hash used to derive per-sample crop/flip randomness in O(1) (a
+    ``np.random.default_rng`` construction costs ~66us per sample, which
+    would dominate the warm-cache loader)."""
+    x = (x + 0x9E3779B97F4A7C15) & _M64
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & _M64
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & _M64
+    return (x ^ (x >> 31)) & _M64
+
+
+def _sample_randoms(seed: int, epoch: int, idx: int) -> tuple[int, int, int]:
+    """Three deterministic 64-bit values for (crop_y, crop_x, flips)."""
+    r0 = _splitmix64(
+        ((seed + 1) * 0x9E3779B97F4A7C15 + (epoch + 1)) & _M64
+    )
+    r0 = _splitmix64(r0 ^ idx)
+    r1 = _splitmix64(r0)
+    r2 = _splitmix64(r1)
+    return r0, r1, r2
+
+
+def _check_crop(shape: tuple[int, ...], size: int) -> None:
+    h, w = shape[:2]
     if h < size or w < size:
         raise ValueError(
-            f"image {img.shape[:2]} smaller than crop size {size}; the "
+            f"image {(h, w)} smaller than crop size {size}; the "
             "dataset must contain images at least crop_size x crop_size"
         )
-    top = int(rng.integers(0, h - size + 1))
-    left = int(rng.integers(0, w - size + 1))
-    return img[top:top + size, left:left + size]
 
 
 class TrainLoader:
@@ -122,11 +142,15 @@ class TrainLoader:
         """Total (unsharded) dataset size — the reference's train_len."""
         return len(self.paths)
 
-    def _sample(self, path: str, sample_seed: tuple[int, ...]):
-        rng = np.random.default_rng(sample_seed)
+    def _sample(self, path: str, epoch: int, idx: int):
         img = self._cache.get(path)
-        crop = _random_crop(img, self.crop_size, rng)
-        flips = rng.random(2) < 0.5
+        size = self.crop_size
+        _check_crop(img.shape, size)
+        r0, r1, r2 = _sample_randoms(self.seed, epoch, idx)
+        top = r0 % (img.shape[0] - size + 1)
+        left = r1 % (img.shape[1] - size + 1)
+        crop = img[top:top + size, left:left + size]
+        flips = np.array([r2 & 1, (r2 >> 1) & 1], dtype=bool)
         return crop, flips
 
     def epoch(self, epoch_idx: int) -> Iterator[tuple[np.ndarray, np.ndarray]]:
@@ -148,8 +172,7 @@ class TrainLoader:
             results = list(
                 self._pool.map(
                     lambda i: self._sample(
-                        self.paths[int(i)],
-                        (self.seed, epoch_idx, int(i)),
+                        self.paths[int(i)], epoch_idx, int(i)
                     ),
                     idx,
                 )
@@ -201,9 +224,14 @@ class EvalLoader:
         return len(self.paths)
 
     def _sample(self, i: int) -> np.ndarray:
-        rng = np.random.default_rng((self.seed, int(i)))
         img = self._cache.get(self.paths[int(i)])
-        return _random_crop(img, self.crop_size, rng)
+        size = self.crop_size
+        _check_crop(img.shape, size)
+        # epoch fixed at -1: eval crops never change across epochs
+        r0, r1, _ = _sample_randoms(self.seed, -1, int(i))
+        top = r0 % (img.shape[0] - size + 1)
+        left = r1 % (img.shape[1] - size + 1)
+        return img[top:top + size, left:left + size]
 
     def __iter__(self) -> Iterator[tuple[np.ndarray, int]]:
         bs = self.batch_size

@@ -12,7 +12,6 @@ from __future__ import annotations
 
 import functools
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -45,6 +44,24 @@ def _gaussian_window(size: int, sigma: float) -> np.ndarray:
     return g.astype(np.float32)
 
 
+@functools.lru_cache(maxsize=32)
+def _blur_matrix(n: int, window_size: int, sigma: float) -> np.ndarray:
+    """Banded (n - w + 1, n) matrix applying a VALID 1-D Gaussian filter.
+
+    Expressing the separable blur as two dense matmuls instead of
+    grouped/depthwise convolutions matters on TPU: depthwise convs map
+    poorly onto the MXU (and vmapping them per sample is pathologically
+    slow), while an einsum over the spatial axis is a single large
+    dot_general batched over batch and channels.
+    """
+    g = _gaussian_window(window_size, sigma)
+    out = n - window_size + 1
+    mat = np.zeros((out, n), dtype=np.float32)
+    for i in range(out):
+        mat[i, i:i + window_size] = g
+    return mat
+
+
 def ssim(
     pred: jnp.ndarray,
     target: jnp.ndarray,
@@ -54,34 +71,42 @@ def ssim(
     k2: float = 0.03,
     data_range: float = 1.0,
 ) -> jnp.ndarray:
-    """Mean SSIM over a batch of NHWC images in [0, 1].
+    """Mean SSIM over a batch of NHWC images in [0, 1]."""
+    return jnp.mean(
+        ssim_per_sample(
+            pred, target, window_size=window_size, sigma=sigma,
+            k1=k1, k2=k2, data_range=data_range,
+        )
+    )
 
-    The Gaussian filtering is separable: two depthwise 1-D convolutions
-    per moment map, which XLA lowers to cheap strided convs on the VPU.
+
+def ssim_per_sample(
+    pred: jnp.ndarray,
+    target: jnp.ndarray,
+    window_size: int = 11,
+    sigma: float = 1.5,
+    k1: float = 0.01,
+    k2: float = 0.03,
+    data_range: float = 1.0,
+) -> jnp.ndarray:
+    """Per-sample mean SSIM (B,) over NHWC batches.
+
+    The separable Gaussian filtering is expressed as two banded-matrix
+    einsums over the spatial axes — single MXU dot_generals batched over
+    (batch, channel) — rather than depthwise convolutions, which TPU
+    handles poorly.
     """
     pred = pred.astype(jnp.float32)
     target = target.astype(jnp.float32)
-    window = jnp.asarray(_gaussian_window(window_size, sigma))
+    h, w = pred.shape[1], pred.shape[2]
+    gh = jnp.asarray(_blur_matrix(h, window_size, sigma))
+    gw = jnp.asarray(_blur_matrix(w, window_size, sigma))
 
     def blur(x: jnp.ndarray) -> jnp.ndarray:
-        # x: (B, H, W, C); filter over H then W, valid padding.
-        c = x.shape[-1]
-        kh = jnp.tile(window.reshape(window_size, 1, 1, 1), (1, 1, 1, c))
-        kw = jnp.tile(window.reshape(1, window_size, 1, 1), (1, 1, 1, c))
-        dn = jax.lax.conv_dimension_numbers(
-            x.shape, kh.shape, ("NHWC", "HWIO", "NHWC")
-        )
-        x = jax.lax.conv_general_dilated(
-            x, kh, (1, 1), "VALID", dimension_numbers=dn,
-            feature_group_count=c,
-        )
-        dn = jax.lax.conv_dimension_numbers(
-            x.shape, kw.shape, ("NHWC", "HWIO", "NHWC")
-        )
-        return jax.lax.conv_general_dilated(
-            x, kw, (1, 1), "VALID", dimension_numbers=dn,
-            feature_group_count=c,
-        )
+        x = jnp.einsum("oh,bhwc->bowc", gh, x,
+                       preferred_element_type=jnp.float32)
+        return jnp.einsum("ow,bhwc->bhoc", gw, x,
+                          preferred_element_type=jnp.float32)
 
     c1 = (k1 * data_range) ** 2
     c2 = (k2 * data_range) ** 2
@@ -98,13 +123,4 @@ def ssim(
     ssim_map = ((2.0 * mu_pt + c1) * (2.0 * cov + c2)) / (
         (mu_pp + mu_tt + c1) * (var_p + var_t + c2)
     )
-    return jnp.mean(ssim_map)
-
-
-def ssim_per_sample(
-    pred: jnp.ndarray, target: jnp.ndarray, **kwargs
-) -> jnp.ndarray:
-    """Per-sample mean SSIM (B,) — used for masked (padded-batch) evals."""
-    return jax.vmap(lambda p, t: ssim(p[None], t[None], **kwargs))(
-        pred, target
-    )
+    return jnp.mean(ssim_map, axis=(1, 2, 3))

@@ -56,6 +56,7 @@ from torchsr_tpu.data.preprocess import (
     synthesize_eval_triple,
     synthesize_pair,
 )
+from torchsr_tpu.data.prefetch import prefetch_to_device
 from torchsr_tpu.parallel.mesh import put_batch, replicate
 from torchsr_tpu.train import losses as L
 from torchsr_tpu.train.metrics import psnr_per_sample, ssim_per_sample
@@ -294,14 +295,12 @@ class GANTrainer:
                 "gen_loss": gen_loss_val,
             }
 
-        def eval_step(gen_params, gen_stats, crops_u8, valid):
+        def eval_step(gen_params, gen_stats, crops_u8, mask):
             lr_img, _bic, hr_img = synthesize_eval_triple(
                 crops_u8, upscale_factor=self.upscale
             )
             sr, _ = _gen_apply(gen_params, gen_stats, lr_img, False)
-            mask = (
-                jnp.arange(sr.shape[0]) < valid
-            ).astype(jnp.float32)
+            mask = mask.astype(jnp.float32)
             denom = jnp.maximum(jnp.sum(mask), 1.0)
             psnr_b = jnp.sum(psnr_per_sample(sr, hr_img) * mask) / denom
             ssim_b = jnp.sum(ssim_per_sample(sr, hr_img) * mask) / denom
@@ -407,19 +406,29 @@ class GANTrainer:
         added.
         """
         self.logger.log(f"Testing results after epoch {epoch}")
+        # Accumulate on device; one host sync at the end of the pass.
         psnr_total, ssim_total, loss_total = 0.0, 0.0, 0.0
         batches = 0
         start_time = time.time()
         gen_params, gen_stats = self.state.gen_params, self.state.gen_stats
-        for crops, valid in tqdm(
-            self.test_loader, disable=not self.main_process
+        bs = self.test_loader.batch_size
+        host_iter = (
+            (c, (np.arange(bs) < v).astype(np.float32))
+            for c, v in self.test_loader
+        )
+        for crops, mask in tqdm(
+            prefetch_to_device(host_iter, self.mesh),
+            total=len(self.test_loader),
+            disable=not self.main_process,
         ):
-            (crops_dev,) = self._put(crops)
-            p, s, l = self.eval_step(gen_params, gen_stats, crops_dev, valid)
-            psnr_total += float(p)
-            ssim_total += float(s)
-            loss_total += float(l)
+            p, s, l = self.eval_step(gen_params, gen_stats, crops, mask)
+            psnr_total = psnr_total + p
+            ssim_total = ssim_total + s
+            loss_total = loss_total + l
             batches += 1
+        psnr_total = float(psnr_total)
+        ssim_total = float(ssim_total)
+        loss_total = float(loss_total)
         time_taken = max(time.time() - start_time, 1e-9)
         throughput = (
             len(self.test_loader) * self.batch_size * self.world_size
@@ -485,14 +494,15 @@ class GANTrainer:
                 f"Starting epoch {epoch} out of {self.pre_epochs}"
             )
             start_time = time.time()
-            for sub_step, (crops, flips) in enumerate(
+            for sub_step, (crops_dev, flips_dev) in enumerate(
                 tqdm(
-                    self.train_loader.epoch(epoch - 1),
+                    prefetch_to_device(
+                        self.train_loader.epoch(epoch - 1), self.mesh
+                    ),
                     total=len(self.train_loader),
                     disable=not self.main_process,
                 )
             ):
-                crops_dev, flips_dev = self._put(crops, flips)
                 self.state, loss = self.pretrain_step(
                     self.state, crops_dev, flips_dev
                 )
@@ -500,10 +510,16 @@ class GANTrainer:
                     sub_step * self.batch_size * self.world_size
                     + (epoch - 1) * self.train_len
                 )
-                self.logger.log_wandb(
-                    {"psnr/train-loss": float(loss), "psnr/epoch": epoch},
-                    step=step,
-                )
+                if self.logger.wandb_active:
+                    # float() syncs the device — only pay it when wandb
+                    # actually consumes the value.
+                    self.logger.log_wandb(
+                        {
+                            "psnr/train-loss": float(loss),
+                            "psnr/epoch": epoch,
+                        },
+                        step=step,
+                    )
             jax.block_until_ready(self.state.gen_params)
             time_taken = max(time.time() - start_time, 1e-9)
             throughput = (
@@ -550,9 +566,14 @@ class GANTrainer:
             gen_lr = step_lr_schedule(BASE_LR, epoch, self.epochs)
             disc_lr = step_lr_schedule(BASE_LR, epoch, self.epochs)
             start_time = time.time()
-            for sub_step, (crops, flips) in enumerate(
+            for sub_step, (crops_dev, flips_dev) in enumerate(
                 tqdm(
-                    self.train_loader.epoch(self.pre_epochs + epoch - 1),
+                    prefetch_to_device(
+                        self.train_loader.epoch(
+                            self.pre_epochs + epoch - 1
+                        ),
+                        self.mesh,
+                    ),
                     total=len(self.train_loader),
                     disable=not self.main_process,
                 )
@@ -561,18 +582,18 @@ class GANTrainer:
                     sub_step * self.batch_size * self.world_size
                     + (self.pre_epochs + epoch - 1) * self.train_len
                 )
-                crops_dev, flips_dev = self._put(crops, flips)
                 self.state, metrics = self.gan_step(
                     self.state, crops_dev, flips_dev, gen_lr, disc_lr
                 )
-                self.logger.log_wandb(
-                    {
-                        "gan/disc-lr": disc_lr,
-                        "gan/gen-lr": gen_lr,
-                        "gan/train-loss": float(metrics["gen_loss"]),
-                    },
-                    step=step,
-                )
+                if self.logger.wandb_active:
+                    self.logger.log_wandb(
+                        {
+                            "gan/disc-lr": disc_lr,
+                            "gan/gen-lr": gen_lr,
+                            "gan/train-loss": float(metrics["gen_loss"]),
+                        },
+                        step=step,
+                    )
             jax.block_until_ready(self.state.gen_params)
             time_taken = max(time.time() - start_time, 1e-9)
             throughput = (

@@ -28,6 +28,13 @@ class Logger:
                 config=config, name="TorchSR", project="torchsr"
             )
 
+    @property
+    def wandb_active(self) -> bool:
+        """True when per-step metric values will actually be consumed —
+        lets hot loops skip host syncs (float() on device scalars) when
+        nothing is listening."""
+        return bool(wandb and self.main_process)
+
     def log(self, statement: str) -> None:
         """Print only on the main process (reference srgan/trainer.py:207-217)."""
         if self.main_process:
