@@ -1,0 +1,31 @@
+# Deployment image for torchsr-tpu (capability parity with the
+# reference's Docker packaging, /root/reference/Dockerfile, redone for
+# TPU hosts: jax[tpu] wheels replace the NGC PyTorch base image, and no
+# CUDA/NCCL setup is needed — the TPU runtime handles device discovery
+# and cross-host rendezvous).
+FROM python:3.12-slim
+
+WORKDIR /opt/torchsr-tpu
+
+# TPU-enabled JAX (libtpu comes with the jax[tpu] extra).
+RUN pip install --no-cache-dir "jax[tpu]" \
+      -f https://storage.googleapis.com/jax-releases/libtpu_releases.html
+
+COPY pyproject.toml README.md ./
+COPY torchsr_tpu ./torchsr_tpu
+RUN pip install --no-cache-dir .[observability]
+
+# Optional: bake in torchvision's VGG19 weights for the perceptual loss
+# (the reference pre-bakes the same file, Dockerfile:11). Mount or COPY
+# vgg19-dcbb9e9d.pth and pass --vgg-weights at train time.
+
+# Bundle the fixed progress-sample image if present (reference
+# Dockerfile:35); the trainer degrades gracefully when absent.
+# COPY media ./media
+
+# Multi-host coordination defaults (reference Dockerfile:19); the
+# trainer reads torchrun-style or SLURM_* env vars (parallel/mesh.py).
+ENV MASTER_PORT=29500
+
+ENTRYPOINT ["torchsr"]
+CMD ["--help"]

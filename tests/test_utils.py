@@ -1,0 +1,97 @@
+"""Utility subsystem tests: prefetch, profiler, checkpoint helpers."""
+
+import os
+
+import numpy as np
+import pytest
+
+from torchsr_tpu.data.prefetch import prefetch_to_device
+from torchsr_tpu.parallel.mesh import make_mesh
+from torchsr_tpu.utils.checkpoint import (
+    find_checkpoint,
+    load_checkpoint,
+    save_checkpoint,
+)
+from torchsr_tpu.utils.image_io import save_image, to_uint8
+from torchsr_tpu.utils.profiling import StepProfiler
+
+
+def test_prefetch_to_device_order_and_values():
+    mesh = make_mesh()
+    batches = [
+        (np.full((8, 4), i, np.float32), np.full((8,), i, np.float32))
+        for i in range(5)
+    ]
+    out = list(prefetch_to_device(iter(batches), mesh))
+    assert len(out) == 5
+    for i, (a, b) in enumerate(out):
+        np.testing.assert_array_equal(np.asarray(a), batches[i][0])
+        np.testing.assert_array_equal(np.asarray(b), batches[i][1])
+
+
+def test_prefetch_propagates_producer_errors():
+    mesh = make_mesh()
+
+    def bad_iter():
+        yield (np.zeros((8, 2), np.float32),)
+        raise RuntimeError("decode failed")
+
+    it = prefetch_to_device(bad_iter(), mesh)
+    next(it)
+    with pytest.raises(RuntimeError, match="decode failed"):
+        next(it)
+
+
+def test_step_profiler_writes_trace(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    profiler = StepProfiler(2, str(tmp_path / "traces"))
+    f = jax.jit(lambda x: x * 2)
+    for _ in range(8):
+        f(jnp.ones((4,)))
+        profiler.step()
+    profiler.stop()
+    trace_root = tmp_path / "traces"
+    assert trace_root.exists()
+    # jax writes plugins/profile/<ts>/*.trace.json.gz or xplane files
+    found = [p for p in trace_root.rglob("*") if p.is_file()]
+    assert found, "profiler produced no trace files"
+
+
+def test_step_profiler_disabled_noop():
+    profiler = StepProfiler(0, "nowhere")
+    for _ in range(3):
+        profiler.step()
+    profiler.stop()  # no error, nothing written
+
+
+def test_checkpoint_roundtrip_and_find(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    state = {"params": {"w": np.arange(6, np.float32).reshape(2, 3)
+                        if False else np.arange(6, dtype=np.float32).reshape(2, 3)}}
+    save_checkpoint("m-psnr-latest.ckpt", 5, "m-psnr", state,
+                    extra={"best_psnr": 31.5})
+    loaded = load_checkpoint("m-psnr-latest.ckpt")
+    assert loaded["epoch"] == 5
+    assert loaded["phase"] == "m-psnr"
+    np.testing.assert_array_equal(
+        loaded["state"]["params"]["w"], state["params"]["w"]
+    )
+    assert loaded["extra"]["best_psnr"] == 31.5
+
+    assert find_checkpoint("missing.ckpt", "m-psnr-latest.ckpt") == \
+        "m-psnr-latest.ckpt"
+    assert find_checkpoint("missing.ckpt") is None
+    assert load_checkpoint(None) is None
+
+
+def test_image_io_roundtrip(tmp_path):
+    arr = np.random.default_rng(0).random((8, 8, 3)).astype(np.float32)
+    path = str(tmp_path / "sub" / "img.png")
+    save_image(arr, path)  # creates the directory
+    assert os.path.exists(path)
+    u8 = to_uint8(arr)
+    assert u8.dtype == np.uint8
+    # round-half rounding
+    assert to_uint8(np.array([[[0.5 / 255]]]))[0, 0, 0] == 1

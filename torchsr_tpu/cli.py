@@ -150,6 +150,15 @@ def parse_args(argv: list[str] | None = None) -> Namespace:
         help="Truncate the perceptual-loss VGG19 trunk to the first N "
              "convolutions (default: the full 16-conv relu5_4 trunk).",
     )
+    train.add_argument(
+        "--profile-steps", type=int, default=0,
+        help="Capture a jax.profiler device trace of N hot-loop train "
+             "steps (TensorBoard format). 0 disables profiling.",
+    )
+    train.add_argument(
+        "--profile-dir", type=str, default="traces",
+        help="Output directory for profiler traces. Default: traces/.",
+    )
 
     test = commands.add_parser(
         "test",

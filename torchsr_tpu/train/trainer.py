@@ -74,6 +74,7 @@ from torchsr_tpu.utils.checkpoint import (
     save_checkpoint,
 )
 from torchsr_tpu.utils.logging import Logger
+from torchsr_tpu.utils.profiling import StepProfiler
 
 BASE_LR = 1e-4
 SAMPLE_IMAGE_PATH = os.path.join("media", "waterfalls-low-res.png")
@@ -117,6 +118,12 @@ class GANTrainer:
         self.seed = getattr(args, "seed", 0) or 0
 
         self.logger = logger or Logger(self.main_process, config=vars(args))
+
+        self.profiler = StepProfiler(
+            getattr(args, "profile_steps", 0) or 0,
+            getattr(args, "profile_dir", None) or "traces",
+            self.logger if self.main_process else None,
+        )
 
         global_batch = self.batch_size * jax.process_count()
         n_devices = int(np.prod([d for d in mesh.devices.shape])) \
@@ -166,13 +173,7 @@ class GANTrainer:
         vgg_params = vgg_vars["params"]
         vgg_path = getattr(self.args, "vgg_weights", None)
         if vgg_path and os.path.exists(vgg_path):
-            from torchsr_tpu.models import torch_compat
-
-            raw = torch_compat.load_torch_checkpoint(vgg_path)
-            sd = raw.get("state_dict", raw) if isinstance(raw, dict) else raw
-            if not any(k.startswith("features.") for k in sd):
-                sd = {f"features.{k}": v for k, v in sd.items()}
-            vgg_params = torch_compat.convert_vgg19(sd)["params"]
+            vgg_params = _load_vgg_weights(vgg_path)
             self.logger.log(f"Loaded VGG19 weights from {vgg_path}")
         self.state = replicate(state, self.mesh)
         self.vgg_params = replicate(vgg_params, self.mesh)
@@ -469,9 +470,19 @@ class GANTrainer:
         image_io.save_image(
             np.asarray(sr[0]), os.path.join("output", f"SR_epoch{epoch}.png")
         )
-        self.logger.log_image(
-            f"images/epoch{epoch}", image_io.to_uint8(np.asarray(sr[0]))
-        )
+        if self.logger.wandb_active:
+            # The reference logs a quarter-size bicubic copy to WandB
+            # (srgan/trainer.py:337-343).
+            from torchsr_tpu.ops.resize import bicubic_resize
+
+            h, w = sr.shape[1] // 4, sr.shape[2] // 4
+            quarter = bicubic_resize(
+                jnp.clip(sr, 0.0, 1.0), (h, w), quantize=True
+            )
+            self.logger.log_image(
+                f"images/epoch{epoch}",
+                image_io.to_uint8(np.asarray(quarter[0])),
+            )
 
     # --------------------------------------------------------- phases
 
@@ -506,6 +517,7 @@ class GANTrainer:
                 self.state, loss = self.pretrain_step(
                     self.state, crops_dev, flips_dev
                 )
+                self.profiler.step()
                 step = (
                     sub_step * self.batch_size * self.world_size
                     + (epoch - 1) * self.train_len
@@ -585,6 +597,7 @@ class GANTrainer:
                 self.state, metrics = self.gan_step(
                     self.state, crops_dev, flips_dev, gen_lr, disc_lr
                 )
+                self.profiler.step()
                 if self.logger.wandb_active:
                     self.logger.log_wandb(
                         {
@@ -613,7 +626,25 @@ class GANTrainer:
         """Pretrain then GAN-train (reference srgan/trainer.py:533-543)."""
         self._pretrain()
         self._gan_train()
+        self.profiler.stop()
         self.logger.finish()
+
+
+def _load_vgg_weights(path: str) -> dict:
+    """Load VGG19 params from a torch .pth or a converted .ckpt file."""
+    if path.endswith((".pth", ".pt")):
+        from torchsr_tpu.models import torch_compat
+
+        raw = torch_compat.load_torch_checkpoint(path)
+        sd = raw.get("state_dict", raw) if isinstance(raw, dict) else raw
+        if not any(str(k).startswith("features.") for k in sd):
+            sd = {f"features.{k}": v for k, v in sd.items()}
+        return torch_compat.convert_vgg19(sd)["params"]
+    from flax import serialization
+
+    with open(path, "rb") as fh:
+        variables = serialization.msgpack_restore(fh.read())
+    return variables.get("params", variables)
 
 
 def _match_tree(template, loaded):
