@@ -37,6 +37,10 @@ MEASURE_STEPS = 30
 def main() -> None:
     import jax
 
+    from torchsr_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from torchsr_tpu.data.synthetic import (
         SyntheticEvalLoader,
         SyntheticTrainLoader,

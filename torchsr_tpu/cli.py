@@ -214,6 +214,9 @@ def main(argv: list[str] | None = None) -> None:
 
     from torchsr_tpu.data.loader import initialize_datasets
     from torchsr_tpu.parallel.mesh import detect_distributed, make_mesh
+    from torchsr_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     dist_ctx = detect_distributed(args.master_addr, args.master_port)
     trainer_cls, crop_size = select_trainer_model(args)

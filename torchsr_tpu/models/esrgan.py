@@ -94,7 +94,13 @@ class RRDB(nn.Module):
 
 
 class ESRGANGenerator(nn.Module):
-    """4x ESRGAN RRDB generator; NHWC in/out, [0, 1] pixel space."""
+    """4x ESRGAN RRDB generator; NHWC in/out, [0, 1] pixel space.
+
+    The RRDB tower is unrolled (345 convs): an nn.scan variant compiles
+    much faster but costs significant per-step runtime (measured on the
+    SRGAN tower: 8x slower), so the one-time compile is paid instead
+    and amortized by the persistent compilation cache.
+    """
 
     num_rrdb_blocks: int = NUM_RESIDUAL
     dtype: Any = None

@@ -74,7 +74,15 @@ class SubpixelConv(nn.Module):
 
 
 class SRGANGenerator(nn.Module):
-    """4x SRGAN generator; input/output NHWC in [0, 1] pixel space."""
+    """4x SRGAN generator; input/output NHWC in [0, 1] pixel space.
+
+    The residual tower is unrolled: an nn.scan variant was measured 8x
+    slower at runtime on v5e (28ms vs 3.4ms/train-step at batch 64 —
+    the small 64-channel convs leave no room for scan's per-iteration
+    overhead), so we pay a one-time XLA compile (amortized by the
+    persistent compilation cache, utils/compile_cache.py) for
+    straightline speed.
+    """
 
     scale_factor: int = 4
     num_residual: int = NUM_RESIDUAL
