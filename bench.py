@@ -30,8 +30,8 @@ V100_BASELINE_CROPS_PER_SEC = 500.0
 
 BATCH = 64
 CROP = 96
-WARMUP_STEPS = 3
-MEASURE_STEPS = 30
+WARMUP_STEPS = 5
+MEASURE_STEPS = 60
 
 
 def main() -> None:
@@ -73,20 +73,29 @@ def main() -> None:
         )
     jax.block_until_ready(trainer.state.gen_params)
 
-    start = time.perf_counter()
+    # Median of per-step synchronized timings: robust against queueing
+    # artifacts and transient contention on shared/tunneled devices.
+    step_times = []
     for i in range(MEASURE_STEPS):
         crops, flips = batches[i % len(batches)]
+        start = time.perf_counter()
         trainer.state, loss = trainer.pretrain_step(
             trainer.state, crops, flips
         )
-    jax.block_until_ready(trainer.state.gen_params)
-    elapsed = time.perf_counter() - start
+        jax.block_until_ready(trainer.state.gen_params)
+        step_times.append(time.perf_counter() - start)
 
+    import numpy as np
+
+    median_step = float(np.median(step_times))
     n_chips = len(mesh.devices.ravel())
-    crops_per_sec = MEASURE_STEPS * BATCH / elapsed / n_chips
+    crops_per_sec = BATCH / median_step / n_chips
     print(
-        f"bench: {MEASURE_STEPS} steps x {BATCH} crops in {elapsed:.3f}s "
-        f"on {n_chips} chip(s); loss={float(loss):.5f}",
+        f"bench: {MEASURE_STEPS} steps x {BATCH} crops; median "
+        f"{median_step * 1000:.2f} ms/step "
+        f"(p10 {np.percentile(step_times, 10) * 1000:.2f}, "
+        f"p90 {np.percentile(step_times, 90) * 1000:.2f}) on "
+        f"{n_chips} chip(s); loss={float(loss):.5f}",
         file=sys.stderr,
     )
     print(json.dumps({
