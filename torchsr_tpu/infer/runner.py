@@ -51,11 +51,17 @@ def run_test(args: Namespace, generator_cls) -> str:
     else:
         generator = generator_cls(num_residual=num_blocks or 16)
 
-    def infer_fn(batch: jnp.ndarray) -> jnp.ndarray:
-        variables = {"params": params}
-        if batch_stats:
-            variables["batch_stats"] = batch_stats
-        return generator.apply(variables, batch, train=False)
+    # Params are threaded as a jit ARGUMENT (not a closure capture):
+    # captured device arrays compile in as constants, which some
+    # runtimes re-materialize per call (measured ~300x slower through
+    # a tunneled TPU).
+    variables = {"params": params}
+    if batch_stats:
+        variables["batch_stats"] = batch_stats
+    variables = jax.device_put(variables)
+
+    def infer_fn(v, batch: jnp.ndarray) -> jnp.ndarray:
+        return generator.apply(v, batch, train=False)
 
     image = image_io.load_image(args.image)
     sr = upscale_image(
@@ -65,6 +71,7 @@ def run_test(args: Namespace, generator_cls) -> str:
         tile=getattr(args, "tile", 0) or 0,
         overlap=getattr(args, "tile_overlap", 16),
         tile_batch=getattr(args, "tile_batch", 8),
+        params=variables,
     )
     out_path = f"upres-{os.path.basename(args.image)}"
     image_io.save_image(np.asarray(sr), out_path)

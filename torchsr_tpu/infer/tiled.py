@@ -63,11 +63,18 @@ def tiled_upscale(
     tile: int = 128,
     overlap: int = 16,
     tile_batch: int = 8,
+    params=None,
 ) -> jnp.ndarray:
     """Upscale an ``(H, W, 3)`` float image by ``scale`` with tiling.
 
-    ``infer_fn(batch) -> batch*scale`` must accept ``(B, tile, tile, 3)``.
+    ``infer_fn(batch) -> batch*scale`` (or ``infer_fn(params, batch)``
+    when ``params`` is given) must accept ``(B, tile, tile, 3)``.
     Returns ``(H*scale, W*scale, 3)`` float32.
+
+    Pass model parameters via ``params`` rather than closing over them
+    in ``infer_fn``: closure-captured device arrays become compiled-in
+    constants, which some runtimes re-materialize per call (measured
+    ~300x slower on a tunneled TPU).
     """
     h, w = image.shape[:2]
     pad_h = max(tile - h, 0)
@@ -98,7 +105,7 @@ def tiled_upscale(
     window = jnp.asarray(_blend_window(tile * scale, overlap * scale))
 
     out = _tiled_core(
-        infer_fn, image, ys_arr, xs_arr, valid, window,
+        infer_fn, params, image, ys_arr, xs_arr, valid, window,
         tile=tile, scale=scale, tile_batch=tile_batch,
     )
     return out[: h * scale, : w * scale]
@@ -109,7 +116,8 @@ def tiled_upscale(
     static_argnames=("infer_fn", "tile", "scale", "tile_batch"),
 )
 def _tiled_core(
-    infer_fn, image, ys, xs, valid, window, *, tile, scale, tile_batch
+    infer_fn, params, image, ys, xs, valid, window,
+    *, tile, scale, tile_batch,
 ):
     ph, pw = image.shape[:2]
     t4 = tile * scale
@@ -120,7 +128,12 @@ def _tiled_core(
     tiles = jax.vmap(grab)(ys, xs)  # (N, tile, tile, 3)
 
     chunks = tiles.reshape(-1, tile_batch, tile, tile, 3)
-    sr_chunks = jax.lax.map(infer_fn, chunks)
+    if params is None:
+        sr_chunks = jax.lax.map(infer_fn, chunks)
+    else:
+        sr_chunks = jax.lax.map(
+            lambda c: infer_fn(params, c), chunks
+        )
     sr_tiles = sr_chunks.reshape(-1, t4, t4, 3)
 
     acc = jnp.zeros((ph * scale, pw * scale, 3), jnp.float32)
@@ -154,12 +167,14 @@ def upscale_image(
     tile: int = 0,
     overlap: int = 16,
     tile_batch: int = 8,
+    params=None,
 ) -> np.ndarray:
     """Upscale an HxWx3 uint8/float image; ``tile=0`` = single forward.
 
     ``tile=0`` reproduces the reference's monolithic whole-image forward
     (test.py:62); any positive tile size switches to overlap-blend
     tiling for bounded memory and size-independent compilation.
+    See :func:`tiled_upscale` for the ``params`` contract.
     """
     arr = np.asarray(image)
     if arr.dtype == np.uint8:
@@ -168,8 +183,10 @@ def upscale_image(
     if tile and (x.shape[0] > tile or x.shape[1] > tile):
         out = tiled_upscale(
             infer_fn, x, scale=scale, tile=tile,
-            overlap=overlap, tile_batch=tile_batch,
+            overlap=overlap, tile_batch=tile_batch, params=params,
         )
-    else:
+    elif params is None:
         out = infer_fn(x[None])[0]
+    else:
+        out = infer_fn(params, x[None])[0]
     return np.asarray(jnp.clip(out, 0.0, 1.0))
