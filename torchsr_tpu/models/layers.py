@@ -85,6 +85,61 @@ class Conv(nn.Module):
         )(x)
 
 
+class _ConvParams(nn.Module):
+    """Bare conv parameters (kernel HWIO + bias), no compute.
+
+    Named 'conv' by its parent so the param tree is identical to the
+    ``Conv`` wrapper's inner ``nn.Conv`` — checkpoints are
+    interchangeable between compute strategies.
+    """
+
+    features: int
+    kernel_size: Sequence[int]
+    in_features: int
+    kernel_init: Callable
+
+    @nn.compact
+    def __call__(self):
+        kh, kw = self.kernel_size
+        fan_in = self.in_features * int(kh * kw)
+        kernel = self.param(
+            "kernel", self.kernel_init,
+            (kh, kw, self.in_features, self.features),
+        )
+        bias = self.param("bias", torch_bias_init(fan_in), (self.features,))
+        return kernel, bias
+
+
+class FusedHeadConv(nn.Module):
+    """HR head conv computed in subpixel space (polyphase repacking).
+
+    Drop-in replacement for ``Conv`` on tensors produced by an
+    ``scale``-x upsampling chain: identical math and identical param
+    tree, but the few-output-channel conv runs folded by
+    ``space_to_depth(scale)`` so the MXU's output lanes are filled
+    (see ops/subpixel_conv.py; ~7x faster for the SRGAN 9x9->3 head).
+    """
+
+    features: int
+    kernel_size: Sequence[int]
+    scale: int
+    dtype: Dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from torchsr_tpu.ops.subpixel_conv import conv_subpixel_space
+
+        dtype = self.dtype or jnp.float32
+        kernel, bias = _ConvParams(
+            self.features, tuple(self.kernel_size), x.shape[-1],
+            torch_kernel_init, name="conv",
+        )()
+        return conv_subpixel_space(
+            x.astype(dtype), kernel.astype(dtype), bias.astype(dtype),
+            self.scale,
+        )
+
+
 class Dense(nn.Module):
     """Fully connected layer with torch-style init."""
 

@@ -31,6 +31,7 @@ from torchsr_tpu.models.layers import (
     BatchNorm,
     Conv,
     Dense,
+    FusedHeadConv,
     PReLU,
     leaky_relu,
 )
@@ -87,6 +88,11 @@ class SRGANGenerator(nn.Module):
     scale_factor: int = 4
     num_residual: int = NUM_RESIDUAL
     dtype: Any = None
+    # Compute the 9x9 -> 3ch HR head conv in subpixel space
+    # (ops/subpixel_conv.py): mathematically identical, ~7x faster on
+    # TPU (3 output channels strand 125/128 MXU lanes at 4x resolution
+    # otherwise; measured ~75% of inference time).
+    fused_head: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
@@ -110,7 +116,11 @@ class SRGANGenerator(nn.Module):
             out = SubpixelConv(64, dtype=self.dtype,
                                name=f"upsample{i}")(out)
 
-        out = Conv(3, (9, 9), dtype=self.dtype, name="conv3")(out)
+        if self.fused_head:
+            out = FusedHeadConv(3, (9, 9), self.scale_factor,
+                                dtype=self.dtype, name="conv3")(out)
+        else:
+            out = Conv(3, (9, 9), dtype=self.dtype, name="conv3")(out)
         return out.astype(jnp.float32)
 
 
