@@ -32,6 +32,7 @@ from torchsr_tpu.models.layers import (
     BatchNorm,
     Conv,
     Dense,
+    SubpixelSpaceConv,
     leaky_relu,
 )
 from torchsr_tpu.ops.resize import nearest_upsample
@@ -104,6 +105,12 @@ class ESRGANGenerator(nn.Module):
 
     num_rrdb_blocks: int = NUM_RESIDUAL
     dtype: Any = None
+    # Run the final 3-output-channel HR conv in subpixel space
+    # (ops/subpixel_conv.py) — 3 output channels strand 125/128 MXU
+    # lanes at 4x resolution otherwise.  The 64-channel tail convs stay
+    # direct: folding them was measured ~10% slower (the repacked
+    # kernel's zero-padding inflates FLOPs more than the lane win).
+    fused_tail: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
@@ -129,7 +136,11 @@ class ESRGANGenerator(nn.Module):
 
         out = Conv(64, (3, 3), dtype=self.dtype, name="conv3")(out)
         out = leaky_relu(out, 0.2)
-        out = Conv(3, (3, 3), dtype=self.dtype, name="conv4")(out)
+        if self.fused_tail:
+            out = SubpixelSpaceConv(3, (3, 3), 4, dtype=self.dtype,
+                                    name="conv4")(out)
+        else:
+            out = Conv(3, (3, 3), dtype=self.dtype, name="conv4")(out)
         return out.astype(jnp.float32)
 
 

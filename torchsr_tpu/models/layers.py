@@ -110,14 +110,15 @@ class _ConvParams(nn.Module):
         return kernel, bias
 
 
-class FusedHeadConv(nn.Module):
-    """HR head conv computed in subpixel space (polyphase repacking).
+class SubpixelSpaceConv(nn.Module):
+    """HR conv computed in subpixel space (polyphase repacking).
 
-    Drop-in replacement for ``Conv`` on tensors produced by an
+    Drop-in replacement for ``Conv`` on tensors produced by a
     ``scale``-x upsampling chain: identical math and identical param
-    tree, but the few-output-channel conv runs folded by
-    ``space_to_depth(scale)`` so the MXU's output lanes are filled
-    (see ops/subpixel_conv.py; ~7x faster for the SRGAN 9x9->3 head).
+    tree, but the conv runs folded by ``space_to_depth(scale)`` so the
+    MXU's lanes are filled — decisive for few-channel HR convs (the
+    SRGAN 9x9->3 head: ~7x) and still beneficial for 64-channel HR
+    convs (same FLOPs at C*r^2 channels; see ops/subpixel_conv.py).
     """
 
     features: int

@@ -31,7 +31,7 @@ from torchsr_tpu.models.layers import (
     BatchNorm,
     Conv,
     Dense,
-    FusedHeadConv,
+    SubpixelSpaceConv,
     PReLU,
     leaky_relu,
 )
@@ -77,12 +77,11 @@ class SubpixelConv(nn.Module):
 class SRGANGenerator(nn.Module):
     """4x SRGAN generator; input/output NHWC in [0, 1] pixel space.
 
-    The residual tower is unrolled: an nn.scan variant was measured 8x
-    slower at runtime on v5e (28ms vs 3.4ms/train-step at batch 64 —
+    The residual tower is unrolled: measured head-to-head on v5e, an
+    nn.scan tower runs 1.6x slower per step (54 vs 87 TFLOP/s) because
     the small 64-channel convs leave no room for scan's per-iteration
-    overhead), so we pay a one-time XLA compile (amortized by the
-    persistent compilation cache, utils/compile_cache.py) for
-    straightline speed.
+    overhead; the longer straightline compile is amortized by the
+    persistent compilation cache (utils/compile_cache.py).
     """
 
     scale_factor: int = 4
@@ -117,7 +116,7 @@ class SRGANGenerator(nn.Module):
                                name=f"upsample{i}")(out)
 
         if self.fused_head:
-            out = FusedHeadConv(3, (9, 9), self.scale_factor,
+            out = SubpixelSpaceConv(3, (9, 9), self.scale_factor,
                                 dtype=self.dtype, name="conv3")(out)
         else:
             out = Conv(3, (9, 9), dtype=self.dtype, name="conv3")(out)
