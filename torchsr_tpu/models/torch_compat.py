@@ -18,7 +18,6 @@ Layout conversions:
 
 from __future__ import annotations
 
-import math
 from typing import Any, Mapping
 
 import numpy as np

@@ -18,7 +18,7 @@ torchsr_tpu.models.torch_compat).
 from __future__ import annotations
 
 import os
-from typing import Any
+
 
 import jax
 import numpy as np
