@@ -84,6 +84,11 @@ class GANTrainer:
     """Shared two-phase trainer machinery; subclasses wire the losses."""
 
     model_name: str = ""
+    # How generator gradients are obtained in the GAN step: "vjp" saves
+    # the forward's linearization across the disc update (one generator
+    # forward per step); "recompute" re-runs the forward inside the gen
+    # grad. Chosen per model from v5e measurements (see docs/benchmarks).
+    gen_grad_strategy: str = "vjp"
 
     def __init__(
         self,
@@ -238,11 +243,31 @@ class GANTrainer:
             lr_img, hr_img = synthesize_pair(
                 crops_u8, flips, upscale_factor=self.upscale
             )
-            # Generator forward (the one whose output feeds the disc
-            # update; reference srgan/trainer.py:444 / esrgan :447).
-            sr, gen_stats1 = _gen_apply(
-                state.gen_params, state.gen_stats, lr_img, True
-            )
+
+            # Generator forward ONCE, via vjp: its output feeds the
+            # disc update AND (through the saved linearization) the
+            # generator update — exactly the reference's graph, where
+            # `sr` is computed once per step (srgan/trainer.py:444) and
+            # the gen backward runs after the disc optimizer step.  The
+            # torch ESRGAN trainer re-runs the generator (:447, :462);
+            # with identical params that forward is value-identical.
+            # Whether reusing the linearization (vjp) beats recomputing
+            # the forward inside the gen grad is model-dependent
+            # (residual liveness vs an extra forward) — subclasses pick
+            # via `gen_grad_strategy` from measurements.
+            use_vjp = self.gen_grad_strategy == "vjp"
+
+            def gen_fwd(gen_params):
+                return _gen_apply(
+                    gen_params, state.gen_stats, lr_img, True
+                )
+
+            if use_vjp:
+                (sr, gen_stats1), gen_vjp = jax.vjp(
+                    gen_fwd, state.gen_params
+                )
+            else:
+                sr, gen_stats1 = gen_fwd(state.gen_params)
             sr_sg = jax.lax.stop_gradient(sr)
 
             def d_loss(disc_params):
@@ -263,10 +288,7 @@ class GANTrainer:
             # (reference steps disc_optimizer before the gen losses).
             hr_sg = jax.lax.stop_gradient(hr_img)
 
-            def g_loss(gen_params):
-                sr2, gen_stats2 = _gen_apply(
-                    gen_params, gen_stats1, lr_img, True
-                )
+            def head_loss(sr2):
                 feat_sr = vgg.apply({"params": self.vgg_params}, sr2)
                 feat_hr = vgg.apply({"params": self.vgg_params}, hr_sg)
                 content = L.l1_loss(feat_sr, feat_hr)
@@ -274,11 +296,29 @@ class GANTrainer:
                     _disc_apply, new_disc_params, disc_stats1,
                     sr2, hr_sg, content,
                 )
-                return loss, (gen_stats2, disc_stats2)
+                return loss, disc_stats2
 
-            (gen_loss_val, (gen_stats2, disc_stats2)), ggrads = (
-                jax.value_and_grad(g_loss, has_aux=True)(state.gen_params)
-            )
+            if use_vjp:
+                (gen_loss_val, disc_stats2), sr_grad = (
+                    jax.value_and_grad(head_loss, has_aux=True)(sr)
+                )
+                (ggrads,) = gen_vjp(
+                    (sr_grad, jax.tree.map(jnp.zeros_like, gen_stats1))
+                )
+                gen_stats2 = gen_stats1
+            else:
+                def g_loss(gen_params):
+                    sr2, stats2 = _gen_apply(
+                        gen_params, gen_stats1, lr_img, True
+                    )
+                    loss, dstats = head_loss(sr2)
+                    return loss, (stats2, dstats)
+
+                (gen_loss_val, (gen_stats2, disc_stats2)), ggrads = (
+                    jax.value_and_grad(g_loss, has_aux=True)(
+                        state.gen_params
+                    )
+                )
             new_gen_params, new_gen_opt = apply_updates(
                 state.gen_params, ggrads, state.gen_opt_state, opt, gen_lr
             )
