@@ -164,6 +164,10 @@ class TrainLoader:
         if total > n:
             order = np.concatenate([order, order[: total - n]])
         shard = order[self.shard_index::self.num_shards]
+        if len(shard) < self.samples_per_epoch:
+            # tiny datasets: wrap so every batch is full (static shapes)
+            reps = -(-self.samples_per_epoch // len(shard))
+            shard = np.tile(shard, reps)
         shard = shard[: self.samples_per_epoch]
 
         bs = self.batch_size

@@ -530,9 +530,13 @@ class GANTrainer:
         self.logger.log("=" * 80)
         self.logger.log("Starting pre-training")
         epoch = 1
-        path = find_checkpoint(
-            self.psnr_checkpoint, f"{self.model_name}-psnr-latest.ckpt"
-        )
+        # An explicit --psnr-checkpoint replaces the default path
+        # entirely (reference srgan/trainer.py:356-360), it is not a
+        # fallback chain.
+        if self.psnr_checkpoint:
+            path = find_checkpoint(self.psnr_checkpoint)
+        else:
+            path = find_checkpoint(f"{self.model_name}-psnr-latest.ckpt")
         checkpoint = load_checkpoint(path, self.model_name)
         if checkpoint:
             epoch = self._restore(checkpoint, "psnr")
@@ -593,11 +597,12 @@ class GANTrainer:
         epoch = 1
         self.best_psnr = -1.0
 
-        # Resume priority: explicit GAN ckpt > gan-latest > psnr-latest
-        # (reference srgan/trainer.py:482-498).
-        path = find_checkpoint(
-            self.gan_checkpoint, f"{self.model_name}-gan-latest.ckpt"
-        )
+        # Resume priority: explicit GAN ckpt (exclusive when given) >
+        # gan-latest > psnr-latest (reference srgan/trainer.py:482-498).
+        if self.gan_checkpoint:
+            path = find_checkpoint(self.gan_checkpoint)
+        else:
+            path = find_checkpoint(f"{self.model_name}-gan-latest.ckpt")
         checkpoint = load_checkpoint(path, self.model_name)
         if checkpoint:
             epoch = self._restore(checkpoint, "gan")
