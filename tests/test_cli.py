@@ -81,6 +81,28 @@ def test_cli_train_then_test(image_dir, tmp_path, monkeypatch):
 
 
 @pytest.mark.slow
+def test_cli_esrgan_pretrain(image_dir, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    main([
+        "train",
+        "--train-dir", image_dir,
+        "--model", "esrgan",
+        "--batch-size", "8",
+        "--epochs", "0",
+        "--pretrain-epochs", "1",
+        "--data-workers", "2",
+        "--seed", "5",
+        "--disable-amp",
+        "--skip-image-save",
+        "--crop-size", "32",
+        "--gen-blocks", "1",
+        "--vgg-convs", "2",
+    ])
+    assert os.path.exists("esrgan-psnr-latest.ckpt")
+    assert os.path.exists("esrgan-psnr-best.ckpt")
+
+
+@pytest.mark.slow
 def test_cli_test_without_checkpoint_errors(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     rng = np.random.default_rng(0)
