@@ -52,6 +52,28 @@ def test_bce_saturation_is_finite():
     p = np.array([[0.0], [1.0]], dtype=np.float32)
     t = np.array([[1.0], [0.0]], dtype=np.float32)
     assert np.isfinite(float(bce_loss(p, t)))
+    # matched saturation too: (1-t)*log1p(-1) must not produce 0 * -inf
+    p2 = np.array([[1.0], [0.0]], dtype=np.float32)
+    t2 = np.array([[1.0], [0.0]], dtype=np.float32)
+    assert np.isfinite(float(bce_loss(p2, t2)))
+
+
+def test_bce_gradient_finite_at_saturation():
+    """Regression: a saturated discriminator (sigmoid output exactly 0
+    or 1) must yield finite gradients — the maximum(log(p), c)
+    formulation NaNs through the 0*inf pullback and killed GAN training
+    within ~20 steps on real data."""
+    import jax
+    import jax.numpy as jnp
+
+    def loss(logits):
+        p = jax.nn.sigmoid(logits)
+        return bce_loss(p, jnp.ones_like(p))
+
+    # +-40 saturates float32 sigmoid to exactly 1.0 / 0.0
+    for val in (40.0, -40.0):
+        g = jax.grad(loss)(jnp.full((4, 1), val, jnp.float32))
+        assert bool(jnp.isfinite(g).all()), f"non-finite grad at {val}"
 
 
 def test_psnr_reference_formula():

@@ -191,6 +191,12 @@ class BatchNorm(nn.Module):
     ``torch_momentum = 1 - flax_momentum``; running stats live in the
     ``batch_stats`` collection and are updated on train-mode applies,
     mirroring torch's per-forward running-stat updates.
+
+    Statistics are ALWAYS computed in float32, like torch AMP (autocast
+    runs BatchNorm in fp32): in bf16, the variance's mean-of-squares
+    cancellation can go negative once activations drift during GAN
+    training, producing NaNs through rsqrt.  The f32 result is cast
+    back to the surrounding compute dtype.
     """
 
     use_running_average: bool = False
@@ -198,11 +204,12 @@ class BatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        return nn.BatchNorm(
+        out = nn.BatchNorm(
             use_running_average=self.use_running_average,
             momentum=0.9,
             epsilon=1e-5,
-            dtype=self.dtype,
+            dtype=jnp.float32,
             param_dtype=jnp.float32,
             name="bn",
-        )(x)
+        )(x.astype(jnp.float32))
+        return out.astype(self.dtype or x.dtype)

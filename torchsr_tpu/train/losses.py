@@ -31,14 +31,23 @@ def l1_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
 def bce_loss(probs: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
     """Binary cross entropy on probabilities.
 
-    Matches ``torch.nn.BCELoss``: log terms are clamped at -100 so a
-    saturated discriminator yields a large-but-finite loss instead of inf.
+    torch's BCELoss clamps the log terms at -100 and bounds the
+    backward; in JAX a ``maximum(log(p), -100)`` formulation is a NaN
+    trap — at ``p == 0`` the pullback evaluates ``0 * inf``.  A
+    saturated discriminator reaches exactly p in {0, 1} within a few
+    dozen GAN steps, so probabilities are clipped *before* the log
+    (eps 1e-7, the float32 resolution around 1): the loss caps at ~16
+    instead of torch's 100 and gradients stay finite (<=1e7), which is
+    the behavior torch's bounded backward provides.
     """
     probs = probs.astype(jnp.float32)
     targets = targets.astype(jnp.float32)
-    log_p = jnp.maximum(jnp.log(probs), -100.0)
-    log_1mp = jnp.maximum(jnp.log1p(-probs), -100.0)
-    return -jnp.mean(targets * log_p + (1.0 - targets) * log_1mp)
+    eps = 1e-7
+    probs = jnp.clip(probs, eps, 1.0 - eps)
+    return -jnp.mean(
+        targets * jnp.log(probs)
+        + (1.0 - targets) * jnp.log1p(-probs)
+    )
 
 
 def bce_with_logits_loss(
