@@ -202,3 +202,97 @@ def load_torch_checkpoint(path: str) -> dict:
     import torch
 
     return torch.load(path, map_location="cpu", weights_only=False)
+
+
+# --------------------------------------------------------------------
+# Reverse direction: flax variables -> reference-layout state_dict
+# (lets checkpoints trained here round-trip back into the reference).
+# --------------------------------------------------------------------
+
+
+def _t(arr) -> "object":
+    import torch
+
+    return torch.from_numpy(np.ascontiguousarray(np.asarray(arr)))
+
+
+def _conv_back(params: Mapping[str, Any], prefix: str, sd: dict) -> None:
+    conv = params["conv"]
+    sd[f"{prefix}.weight"] = _t(
+        np.asarray(conv["kernel"]).transpose(3, 2, 0, 1)
+    )
+    if "bias" in conv:
+        sd[f"{prefix}.bias"] = _t(conv["bias"])
+
+
+def _bn_back(
+    params: Mapping[str, Any], stats: Mapping[str, Any],
+    prefix: str, sd: dict,
+) -> None:
+    import torch
+
+    sd[f"{prefix}.weight"] = _t(params["bn"]["scale"])
+    sd[f"{prefix}.bias"] = _t(params["bn"]["bias"])
+    sd[f"{prefix}.running_mean"] = _t(stats["bn"]["mean"])
+    sd[f"{prefix}.running_var"] = _t(stats["bn"]["var"])
+    sd[f"{prefix}.num_batches_tracked"] = torch.tensor(0)
+
+
+def export_srgan_generator(variables: Mapping[str, Any]) -> dict:
+    """Our SRGAN generator variables -> reference-layout state_dict."""
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    sd: dict = {}
+    _conv_back(params["conv1"], "conv1.0", sd)
+    sd["conv1.1.weight"] = _t(params["prelu1"]["alpha"])
+
+    blocks = sorted(
+        (k for k in params if k.startswith("block")),
+        key=lambda k: int(k[len("block"):]),
+    )
+    for i, key in enumerate(blocks):
+        bp, bs = params[key], stats[key]
+        _conv_back(bp["conv1"], f"blocks.{i}.conv1", sd)
+        _bn_back(bp["bn1"], bs["bn1"], f"blocks.{i}.bn1", sd)
+        sd[f"blocks.{i}.prelu.weight"] = _t(bp["prelu"]["alpha"])
+        _conv_back(bp["conv2"], f"blocks.{i}.conv2", sd)
+        _bn_back(bp["bn2"], bs["bn2"], f"blocks.{i}.bn2", sd)
+
+    _conv_back(params["conv2"], "conv2.0", sd)
+    _bn_back(params["bn2"], stats["bn2"], "conv2.1", sd)
+    ups = sorted(
+        (k for k in params if k.startswith("upsample")),
+        key=lambda k: int(k[len("upsample"):]),
+    )
+    for i, key in enumerate(ups):
+        _conv_back(params[key]["conv"], f"conv_layers.{i}.conv", sd)
+        sd[f"conv_layers.{i}.prelu.weight"] = _t(
+            params[key]["prelu"]["alpha"]
+        )
+    _conv_back(params["conv3"], "conv3", sd)
+    return sd
+
+
+def export_esrgan_generator(variables: Mapping[str, Any]) -> dict:
+    """Our ESRGAN generator variables -> reference-layout state_dict."""
+    params = variables["params"]
+    sd: dict = {}
+    _conv_back(params["conv1"], "conv1", sd)
+    blocks = sorted(
+        (k for k in params if k.startswith("block")),
+        key=lambda k: int(k[len("block"):]),
+    )
+    for i, key in enumerate(blocks):
+        for j in range(1, 4):
+            rdb = params[key][f"rdb{j}"]
+            for c in range(1, 5):
+                _conv_back(
+                    rdb[f"conv{c}"], f"blocks.{i}.RDB{j}.conv{c}.0", sd
+                )
+            _conv_back(rdb["conv5"], f"blocks.{i}.RDB{j}.conv5", sd)
+    _conv_back(params["conv2"], "conv2", sd)
+    _conv_back(params["upsample1"], "upsample1", sd)
+    _conv_back(params["upsample2"], "upsample2", sd)
+    _conv_back(params["conv3"], "conv3.0", sd)
+    _conv_back(params["conv4"], "conv4", sd)
+    return sd

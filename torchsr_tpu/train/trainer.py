@@ -393,7 +393,15 @@ class GANTrainer:
         }
 
     def _restore(self, checkpoint: dict, phase: str) -> int:
-        """Install checkpoint contents into the live state; return epoch."""
+        """Install checkpoint contents into the live state; return epoch.
+
+        ``phase`` is the CURRENT training phase: ``best_psnr`` (and the
+        rest of the extras) are only adopted when the checkpoint came
+        from the same phase — initializing the GAN phase from PSNR
+        weights must NOT inherit the pretrain's best PSNR, or the GAN
+        phase never writes its ``-best`` checkpoint (each phase tracks
+        its own record, reference srgan/trainer.py:478).
+        """
         state_dict = checkpoint["state"]
         new_params = state_dict.get("params", state_dict)
         new_stats = state_dict.get("batch_stats", {})
@@ -407,7 +415,14 @@ class GANTrainer:
                 jax.device_get(self.state.gen_stats), new_stats
             )
         extra = checkpoint.get("extra")
-        if extra:
+        # checkpoint phase is "{model}-{phase}"; compare the suffix
+        # ("gan" is a substring of "srgan", so `in` would always match)
+        ckpt_phase = str(checkpoint.get("phase", "")).split("-")[-1]
+        same_phase = ckpt_phase == phase
+        if extra and same_phase:
+            # Lossless resume only within the same training phase; a
+            # cross-phase restore (GAN init from PSNR weights) is
+            # weights-only, like the reference.
             for key in (
                 "disc_params", "disc_stats", "psnr_opt_state",
                 "gen_opt_state", "disc_opt_state", "step",
@@ -417,7 +432,7 @@ class GANTrainer:
                         jax.device_get(getattr(self.state, key)),
                         extra[key],
                     )
-            if "best_psnr" in extra and phase in checkpoint.get("phase", ""):
+            if "best_psnr" in extra:
                 self.best_psnr = float(extra["best_psnr"])
         host_state = jax.device_get(self.state).replace(**updates)
         self.state = replicate(host_state, self.mesh)
@@ -613,7 +628,9 @@ class GANTrainer:
                 self.model_name,
             )
             if checkpoint:
-                self._restore(checkpoint, "psnr")
+                # current phase is "gan": takes the PSNR weights but not
+                # the pretrain phase's best-PSNR record or step counters
+                self._restore(checkpoint, "gan")
                 self.logger.log("Initialized GAN phase from PSNR weights")
 
         step = 0
