@@ -213,7 +213,9 @@ def load_torch_checkpoint(path: str) -> dict:
 def _t(arr) -> "object":
     import torch
 
-    return torch.from_numpy(np.ascontiguousarray(np.asarray(arr)))
+    return torch.from_numpy(
+        np.ascontiguousarray(np.asarray(arr)).copy()
+    )
 
 
 def _conv_back(params: Mapping[str, Any], prefix: str, sd: dict) -> None:
