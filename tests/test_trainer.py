@@ -118,7 +118,8 @@ def test_esrgan_gan_step(image_dir, workdir):
     # the step donates its input state: snapshot params first
     before = jax.device_get(trainer.state.gen_params)
     state, metrics = trainer.gan_step(
-        trainer.state, crops_dev, flips_dev, 1e-4, 1e-4
+        trainer.state, crops_dev, flips_dev, 1e-4, 1e-4,
+        trainer.vgg_params,
     )
     trainer.state = state
     assert np.isfinite(float(metrics["gen_loss"]))

@@ -95,3 +95,34 @@ def test_image_io_roundtrip(tmp_path):
     assert u8.dtype == np.uint8
     # round-half rounding
     assert to_uint8(np.array([[[0.5 / 255]]]))[0, 0, 0] == 1
+
+
+def test_match_tree_is_key_aware():
+    """Key-aware restoration: reordered dict keys map by NAME, mismatched
+    key sets raise — never a silent positional transpose."""
+    import pytest
+
+    from torchsr_tpu.train.trainer import _match_tree
+
+    template = {
+        "alpha": np.zeros((2, 2), np.float32),
+        "beta": np.zeros((2, 2), np.float32),
+    }
+    # Reordered (and reversed-value) loaded dict: values must follow keys.
+    loaded = {
+        "beta": np.full((2, 2), 7.0),
+        "alpha": np.full((2, 2), 3.0),
+    }
+    out = _match_tree(template, loaded)
+    assert float(out["alpha"][0, 0]) == 3.0
+    assert float(out["beta"][0, 0]) == 7.0
+
+    # Same leaf count, different key names: must raise, not transpose.
+    with pytest.raises(ValueError):
+        _match_tree(template, {"alpha": loaded["alpha"],
+                               "gamma": loaded["beta"]})
+
+    # Size-incompatible leaf: must raise, not reshape garbage.
+    with pytest.raises(ValueError):
+        _match_tree(template, {"alpha": np.zeros((3, 3)),
+                               "beta": loaded["beta"]})

@@ -153,7 +153,9 @@ def parse_args(argv: list[str] | None = None) -> Namespace:
     train.add_argument(
         "--profile-steps", type=int, default=0,
         help="Capture a jax.profiler device trace of N hot-loop train "
-             "steps (TensorBoard format). 0 disables profiling.",
+             "steps (TensorBoard format). 0 disables profiling. On TPU "
+             "backends the trace is skipped unless TORCHSR_FORCE_PROFILE=1 "
+             "is set: some TPU runtimes hang in start_trace.",
     )
     train.add_argument(
         "--profile-dir", type=str, default="traces",

@@ -54,9 +54,11 @@ def synthesize_pair(
     hr = _apply_flips(hr, flips)
     size = hr.shape[1]
     lr_size = size // upscale_factor
-    # quantize=True reproduces PIL's uint8 two-pass pipeline bit-for-bit
-    # (values land exactly on the k/255 grid like the reference's
-    # ToPILImage->Resize->ToTensor round trip).
+    # quantize=True matches PIL's two-pass uint8 quantization semantics:
+    # values land exactly on the k/255 grid like the reference's
+    # ToPILImage->Resize->ToTensor round trip, within ~1/255 per pixel
+    # (PIL filters in 8-bit fixed point, this path in float32 — see
+    # ops/resize.py).
     lr = bicubic_resize(hr, (lr_size, lr_size), quantize=True)
     return lr, hr
 

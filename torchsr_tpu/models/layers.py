@@ -42,7 +42,14 @@ def torch_bias_init(fan_in: int) -> Callable:
 
 
 class Conv(nn.Module):
-    """2D convolution, NHWC, SAME padding by default, torch-style init.
+    """2D convolution, NHWC, torch-style symmetric padding and init.
+
+    Padding is explicit ``(k//2, k//2)`` per spatial dim — torch's
+    ``padding=k//2`` — NOT XLA "SAME": for the discriminators' stride-2
+    3x3 convs on even inputs SAME pads asymmetrically (0, 1), which is a
+    one-pixel-shifted, non-identical convolution vs the reference
+    (srgan/discriminator.py:31-62).  Output sizes are unchanged; values
+    now match torch exactly for every conv in the repo (all odd kernels).
 
     ``kernel_scale`` post-scales the kernel init — used by ESRGAN's
     residual dense blocks which initialize kaiming-normal then multiply by
@@ -71,11 +78,12 @@ class Conv(nn.Module):
             def kinit(key, shape, dtype=jnp.float32, _base=base, _s=scale):
                 return _base(key, shape, dtype) * _s
 
+        kh, kw = int(self.kernel_size[0]), int(self.kernel_size[1])
         return nn.Conv(
             features=self.features,
             kernel_size=tuple(self.kernel_size),
             strides=tuple(self.strides),
-            padding="SAME",
+            padding=((kh // 2, kh // 2), (kw // 2, kw // 2)),
             use_bias=self.use_bias,
             dtype=self.dtype,
             param_dtype=jnp.float32,

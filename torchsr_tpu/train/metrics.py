@@ -1,8 +1,10 @@
 """Image quality metrics: PSNR (reference-parity formula) and SSIM.
 
-PSNR reproduces the reference exactly: ``10 * log10(1 / MSE)`` on [0, 1]
-pixels, averaged *per batch* then over batches (srgan/trainer.py:296,
-:303).  SSIM is additive capability — the reference computes PSNR only —
+PSNR reproduces the reference exactly: ``10 * log10(1 / batch_MSE)`` on
+[0, 1] pixels — one log10 per batch over the whole batch's MSE, then
+averaged over batches (srgan/trainer.py:296, :303); the eval loop builds
+this from masked ``mse_per_sample`` so padded samples are excluded.
+SSIM is additive capability — the reference computes PSNR only —
 required by the north-star eval (BASELINE.md): standard Gaussian-windowed
 SSIM (11x11, sigma 1.5, K1=0.01, K2=0.03, data range 1.0), averaged over
 channels, matching scikit-image/TF defaults.
@@ -26,13 +28,25 @@ def psnr(
     return 10.0 * jnp.log10(1.0 / jnp.maximum(mse, 1e-12))
 
 
-def psnr_per_sample(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
-    """Per-sample PSNR (B,) — used for masked (padded-batch) evals."""
+def mse_per_sample(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    """Per-sample MSE (B,).
+
+    The eval loop mask-averages these into a batch MSE and takes ONE
+    log10 — the reference's batch PSNR (10*log10(1/batch_MSE),
+    srgan/trainer.py:296).  Averaging per-sample PSNRs instead is >= the
+    batch PSNR (Jensen) and not comparable to reference runs.
+    """
     pred = pred.astype(jnp.float32)
     target = target.astype(jnp.float32)
-    mse = jnp.mean(
+    return jnp.mean(
         jnp.square(pred - target), axis=tuple(range(1, pred.ndim))
     )
+
+
+def psnr_per_sample(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    """Per-sample PSNR (B,) — per-image reporting (NOT the reference's
+    batch formula; see ``mse_per_sample``)."""
+    mse = mse_per_sample(pred, target)
     return 10.0 * jnp.log10(1.0 / jnp.maximum(mse, 1e-12))
 
 

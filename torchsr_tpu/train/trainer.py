@@ -59,7 +59,7 @@ from torchsr_tpu.data.preprocess import (
 from torchsr_tpu.data.prefetch import prefetch_to_device
 from torchsr_tpu.parallel.mesh import put_batch, replicate
 from torchsr_tpu.train import losses as L
-from torchsr_tpu.train.metrics import psnr_per_sample, ssim_per_sample
+from torchsr_tpu.train.metrics import mse_per_sample, ssim_per_sample
 from torchsr_tpu.train.state import (
     GANTrainState,
     apply_updates,
@@ -239,7 +239,13 @@ class GANTrainer:
             )
             return state, loss
 
-        def gan_step(state: GANTrainState, crops_u8, flips, gen_lr, disc_lr):
+        def gan_step(
+            state: GANTrainState, crops_u8, flips, gen_lr, disc_lr,
+            vgg_params,
+        ):
+            # vgg_params is an explicit jit argument: closure-capturing
+            # the ~20M-param VGG trunk would bake it into the executable
+            # as a constant (rule #4; ~300x per-call penalty on TPU).
             lr_img, hr_img = synthesize_pair(
                 crops_u8, flips, upscale_factor=self.upscale
             )
@@ -289,8 +295,8 @@ class GANTrainer:
             hr_sg = jax.lax.stop_gradient(hr_img)
 
             def head_loss(sr2):
-                feat_sr = vgg.apply({"params": self.vgg_params}, sr2)
-                feat_hr = vgg.apply({"params": self.vgg_params}, hr_sg)
+                feat_sr = vgg.apply({"params": vgg_params}, sr2)
+                feat_hr = vgg.apply({"params": vgg_params}, hr_sg)
                 content = L.l1_loss(feat_sr, feat_hr)
                 loss, disc_stats2 = gen_loss_terms(
                     _disc_apply, new_disc_params, disc_stats1,
@@ -343,7 +349,10 @@ class GANTrainer:
             sr, _ = _gen_apply(gen_params, gen_stats, lr_img, False)
             mask = mask.astype(jnp.float32)
             denom = jnp.maximum(jnp.sum(mask), 1.0)
-            psnr_b = jnp.sum(psnr_per_sample(sr, hr_img) * mask) / denom
+            # Reference batch PSNR: one log10 over the batch MSE
+            # (srgan/trainer.py:296), here masked to the valid samples.
+            mse_b = jnp.sum(mse_per_sample(sr, hr_img) * mask) / denom
+            psnr_b = 10.0 * jnp.log10(1.0 / jnp.maximum(mse_b, 1e-12))
             ssim_b = jnp.sum(ssim_per_sample(sr, hr_img) * mask) / denom
             per = jax.vmap(pixel_loss)(sr, hr_img)
             loss_b = jnp.sum(per * mask) / denom
@@ -468,12 +477,16 @@ class GANTrainer:
         start_time = time.time()
         gen_params, gen_stats = self.state.gen_params, self.state.gen_stats
         bs = self.test_loader.batch_size
-        host_iter = (
-            (c, (np.arange(bs) < v).astype(np.float32))
-            for c, v in self.test_loader
-        )
+        total_valid = 0
+
+        def host_iter():
+            nonlocal total_valid
+            for c, v in self.test_loader:
+                total_valid += int(v)
+                yield c, (np.arange(bs) < v).astype(np.float32)
+
         for crops, mask in tqdm(
-            prefetch_to_device(host_iter, self.mesh),
+            prefetch_to_device(host_iter(), self.mesh),
             total=len(self.test_loader),
             disable=not self.main_process,
         ):
@@ -486,10 +499,9 @@ class GANTrainer:
         ssim_total = float(ssim_total)
         loss_total = float(loss_total)
         time_taken = max(time.time() - start_time, 1e-9)
-        throughput = (
-            len(self.test_loader) * self.batch_size * self.world_size
-            / time_taken
-        )
+        # Actual (unpadded) samples evaluated; the reference counts
+        # batches*batch_size even when the last batch is short.
+        throughput = total_valid * self.world_size / time_taken
         psnr_avg = psnr_total / max(batches, 1)
         ssim_avg = ssim_total / max(batches, 1)
         loss_avg = loss_total / max(batches, 1)
@@ -657,7 +669,8 @@ class GANTrainer:
                     + (self.pre_epochs + epoch - 1) * self.train_len
                 )
                 self.state, metrics = self.gan_step(
-                    self.state, crops_dev, flips_dev, gen_lr, disc_lr
+                    self.state, crops_dev, flips_dev, gen_lr, disc_lr,
+                    self.vgg_params,
                 )
                 self.profiler.step()
                 if self.logger.wandb_active:
@@ -710,20 +723,32 @@ def _load_vgg_weights(path: str) -> dict:
 
 
 def _match_tree(template, loaded):
-    """Structure-match a loaded (possibly list-keyed msgpack) tree onto a
-    template pytree, casting leaves to the template's dtypes."""
-    flat_template, treedef = jax.tree.flatten(template)
-    flat_loaded = jax.tree.leaves(loaded)
-    if len(flat_template) != len(flat_loaded):
-        raise ValueError(
-            f"checkpoint structure mismatch: {len(flat_loaded)} leaves "
-            f"loaded vs {len(flat_template)} expected"
-        )
-    cast = [
-        np.asarray(l).astype(np.asarray(t).dtype).reshape(np.shape(t))
-        for t, l in zip(flat_template, flat_loaded)
-    ]
-    return jax.tree.unflatten(treedef, cast)
+    """Key-aware restoration of a checkpoint tree onto a template pytree.
+
+    Delegates the structural matching to flax ``from_state_dict`` —
+    dict leaves are matched BY KEY (missing/extra keys raise with the
+    offending path), never by flattened position, so two same-leaf-count
+    architectures or a reordered dict can't silently transpose weights.
+    Leaves are then cast to the template's dtypes; a size-incompatible
+    leaf raises instead of reshaping garbage into place.
+    """
+    from flax import serialization
+
+    restored = serialization.from_state_dict(template, loaded)
+
+    def cast(t, l):
+        t = np.asarray(t)
+        arr = np.asarray(l)
+        if arr.shape != t.shape:
+            if arr.size != t.size:
+                raise ValueError(
+                    f"checkpoint leaf shape {arr.shape} is incompatible "
+                    f"with the expected {t.shape}"
+                )
+            arr = arr.reshape(t.shape)
+        return arr.astype(t.dtype)
+
+    return jax.tree.map(cast, template, restored)
 
 
 class SRGANTrainer(GANTrainer):

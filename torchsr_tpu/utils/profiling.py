@@ -31,8 +31,25 @@ class StepProfiler:
             return
         self._seen += 1
         if not self._tracing and self._seen > self.START_AT_STEP:
+            import os
+
             import jax
 
+            if (
+                jax.default_backend() not in ("cpu", "gpu")
+                and os.environ.get("TORCHSR_FORCE_PROFILE") != "1"
+            ):
+                # Some TPU runtimes (including this repo's dev platform)
+                # hang inside start_trace; requiring an explicit opt-in
+                # keeps --profile-steps from wedging a real training run.
+                if self.logger is not None:
+                    self.logger.log(
+                        "Skipping profiler trace on TPU backend (set "
+                        "TORCHSR_FORCE_PROFILE=1 to force; some TPU "
+                        "runtimes hang in jax.profiler.start_trace)"
+                    )
+                self._done = True
+                return
             jax.profiler.start_trace(self.out_dir)
             self._tracing = True
             self._trace_started_at = self._seen
