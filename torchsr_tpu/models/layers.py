@@ -193,18 +193,24 @@ def leaky_relu(x: jnp.ndarray, negative_slope: float = 0.2) -> jnp.ndarray:
 
 
 class BatchNorm(nn.Module):
-    """Batch normalization with torch defaults (momentum 0.1, eps 1e-5).
+    """Batch normalization with torch-exact semantics (momentum 0.1,
+    eps 1e-5, UNBIASED running-variance updates).
 
-    flax's ``momentum`` is the decay of the running average, i.e.
-    ``torch_momentum = 1 - flax_momentum``; running stats live in the
-    ``batch_stats`` collection and are updated on train-mode applies,
-    mirroring torch's per-forward running-stat updates.
+    Train mode normalizes with the batch's biased variance (gradients
+    flow through the batch statistics) and updates the running averages
+    as ``ra = 0.9*ra + 0.1*stat`` — with torch's ``n/(n-1)`` Bessel
+    correction applied to the running VARIANCE only (torch
+    BatchNorm2d's documented behavior; flax's nn.BatchNorm uses the
+    biased variance for the running update, a small but real deviation
+    the step-parity tests would catch).
 
     Statistics are ALWAYS computed in float32, like torch AMP (autocast
-    runs BatchNorm in fp32): in bf16, the variance's mean-of-squares
-    cancellation can go negative once activations drift during GAN
-    training, producing NaNs through rsqrt.  The f32 result is cast
-    back to the surrounding compute dtype.
+    runs BatchNorm in fp32): in bf16, variance computed in low precision
+    can go negative once activations drift during GAN training,
+    producing NaNs through rsqrt.  The variance uses the two-pass
+    ``mean((x - mean)^2)`` form to avoid the mean-of-squares
+    cancellation.  The f32 result is cast back to the surrounding
+    compute dtype.
     """
 
     use_running_average: bool = False
@@ -212,12 +218,45 @@ class BatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        out = nn.BatchNorm(
-            use_running_average=self.use_running_average,
-            momentum=0.9,
-            epsilon=1e-5,
-            dtype=jnp.float32,
-            param_dtype=jnp.float32,
-            name="bn",
+        out = _TorchBN(
+            use_running_average=self.use_running_average, name="bn"
         )(x.astype(jnp.float32))
         return out.astype(self.dtype or x.dtype)
+
+
+class _TorchBN(nn.Module):
+    """Inner BN scope (named 'bn' by the wrapper so the param/stats tree
+    layout matches the previous nn.BatchNorm-based implementation and
+    existing checkpoints)."""
+
+    use_running_average: bool
+    momentum: float = 0.1
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
+        )
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(x, axes)
+            var = jnp.mean(jnp.square(x - mean), axes)
+            if not self.is_initializing():
+                n = x.size // c
+                bessel = n / max(n - 1, 1)
+                m = self.momentum
+                ra_mean.value = (1.0 - m) * ra_mean.value + m * mean
+                ra_var.value = (
+                    (1.0 - m) * ra_var.value + m * var * bessel
+                )
+        inv = jax.lax.rsqrt(var + self.epsilon) * scale
+        return (x - mean) * inv + bias

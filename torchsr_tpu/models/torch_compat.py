@@ -179,6 +179,65 @@ def convert_esrgan_generator(state_dict: Mapping[str, Any]) -> dict:
     return {"params": params}
 
 
+def _convert_discriminator(
+    state_dict: Mapping[str, Any],
+    conv_indices: list[int],
+    bn_indices: list[int | None],
+    fc_indices: tuple[int, int],
+    feature_map_hw: int,
+) -> dict:
+    """Shared torch->flax conversion for both reference discriminators.
+
+    ``conv_indices``/``bn_indices``: torch nn.Sequential indices of each
+    conv stage's Conv2d / BatchNorm2d (None = no BN, first stage);
+    ``fc_indices``: classifier Sequential indices of the two Linears;
+    ``feature_map_hw``: spatial size of the final conv map, needed to
+    permute the first Linear's input axis from the reference's CHW
+    flattening (torch.flatten, srgan/discriminator.py:84) to our HWC.
+    """
+    sd = strip_ddp_prefix(state_dict)
+    params: dict = {}
+    stats: dict = {}
+    for i, (ci, bi) in enumerate(zip(conv_indices, bn_indices)):
+        params[f"conv{i}"] = _conv(
+            sd, f"features.{ci}", bias=bi is None
+        )
+        if bi is not None:
+            params[f"bn{i}"], stats[f"bn{i}"] = _bn(sd, f"features.{bi}")
+    params["fc1"] = _linear(
+        sd, f"classifier.{fc_indices[0]}",
+        chw=(512, feature_map_hw, feature_map_hw),
+    )
+    params["fc2"] = _linear(sd, f"classifier.{fc_indices[1]}")
+    return {"params": params, "batch_stats": stats}
+
+
+def convert_srgan_discriminator(
+    state_dict: Mapping[str, Any], image_size: int = 96
+) -> dict:
+    """Reference SRGAN discriminator state_dict -> flax variables
+    (torch layout: srgan/discriminator.py:31-69; 8 conv stages, BN on
+    all but the first, Linear(...->1024)->Linear(1024->1))."""
+    conv_indices = [0, 2, 5, 8, 11, 14, 17, 20]
+    bn_indices = [None, 3, 6, 9, 12, 15, 18, 21]
+    return _convert_discriminator(
+        state_dict, conv_indices, bn_indices, (0, 2), image_size // 16
+    )
+
+
+def convert_esrgan_discriminator(
+    state_dict: Mapping[str, Any], image_size: int = 128
+) -> dict:
+    """Reference ESRGAN discriminator state_dict -> flax variables
+    (torch layout: esrgan/discriminator.py:31-76; 10 conv stages,
+    Linear(...->100)->Linear(100->1), logits head)."""
+    conv_indices = [0, 2, 5, 8, 11, 14, 17, 20, 23, 26]
+    bn_indices = [None, 3, 6, 9, 12, 15, 18, 21, 24, 27]
+    return _convert_discriminator(
+        state_dict, conv_indices, bn_indices, (0, 2), image_size // 32
+    )
+
+
 def convert_vgg19(state_dict: Mapping[str, Any]) -> dict:
     """torchvision VGG19 state_dict -> VGG19Features flax variables.
 
