@@ -178,8 +178,17 @@ class GANTrainer:
         vgg_params = vgg_vars["params"]
         vgg_path = getattr(self.args, "vgg_weights", None)
         if vgg_path and os.path.exists(vgg_path):
-            vgg_params = _load_vgg_weights(vgg_path)
+            loaded = _load_vgg_weights(vgg_path)
+            # A full 16-conv hub file also serves a truncated trunk
+            # (--vgg-convs): keep the convs the module uses, then
+            # key/shape-verify against the initialized template.
+            loaded = {k: v for k, v in loaded.items() if k in vgg_params}
+            vgg_params = _match_tree(vgg_params, loaded)
             self.logger.log(f"Loaded VGG19 weights from {vgg_path}")
+        elif vgg_path:
+            raise FileNotFoundError(
+                f"--vgg-weights file not found: {vgg_path}"
+            )
         self.state = replicate(state, self.mesh)
         self.vgg_params = replicate(vgg_params, self.mesh)
 
