@@ -19,9 +19,9 @@ RUN pip install --no-cache-dir .[observability]
 # (the reference pre-bakes the same file, Dockerfile:11). Mount or COPY
 # vgg19-dcbb9e9d.pth and pass --vgg-weights at train time.
 
-# Bundle the fixed progress-sample image if present (reference
-# Dockerfile:35); the trainer degrades gracefully when absent.
-# COPY media ./media
+# Bundle the fixed progress-sample image (reference Dockerfile:35): the
+# per-epoch SR render of media/waterfalls-low-res.png lands in output/.
+COPY media ./media
 
 # Multi-host coordination defaults (reference Dockerfile:19); the
 # trainer reads torchrun-style or SLURM_* env vars (parallel/mesh.py).
