@@ -1,0 +1,87 @@
+"""Multi-process worker: one data-parallel pretrain step on a 2-process
+virtual-CPU cluster.  Launched by tests/test_multiprocess.py with
+torchrun-style env vars; exercises the REAL multi-process branches:
+``detect_distributed``'s rank->process mapping +
+``jax.distributed.initialize`` (parallel/mesh.py:75-84) and
+``put_batch``'s ``make_array_from_process_local_data``
+(parallel/mesh.py:117-122) — the reference's NCCL PG + DistributedSampler
+equivalents (torchsr.py:101-154, :258).
+"""
+
+import json
+import os
+import sys
+
+
+def main() -> None:
+    out_path = sys.argv[1]
+    rank = int(os.environ["RANK"])
+    local_world = int(os.environ["LOCAL_WORLD_SIZE"])
+
+    # The environment's TPU plugin ignores JAX_PLATFORMS; the config
+    # knob must be set before any device use (CLAUDE.md rule #1).
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+
+    from torchsr_tpu.parallel.mesh import detect_distributed, make_mesh
+
+    ctx = detect_distributed()
+    assert ctx.distributed, "launcher env not detected"
+    assert ctx.world_size == 8, ctx.world_size
+    assert ctx.rank == rank
+    # rank -> process mapping (2 processes x 4 local "ranks")
+    assert jax.process_count() == 2, jax.process_count()
+    assert jax.process_index() == rank // local_world
+    assert len(jax.devices()) == 8, "global device view"
+    assert len(jax.local_devices()) == 4, "4 virtual CPU devices/process"
+    assert ctx.main_process == (rank == 0)
+
+    from argparse import Namespace
+
+    from torchsr_tpu.data.synthetic import (
+        SyntheticEvalLoader,
+        SyntheticTrainLoader,
+    )
+    from torchsr_tpu.train.trainer import SRGANTrainer
+
+    mesh = make_mesh()
+    args = Namespace(
+        batch_size=4,  # per process -> global batch 8 over 8 devices
+        disable_amp=True, epochs=1, pretrain_epochs=1,
+        gan_checkpoint=None, psnr_checkpoint=None, seed=0,
+        skip_image_save=True, model="srgan", num_residual=1, vgg_convs=2,
+    )
+    trainer = SRGANTrainer(
+        args, SyntheticTrainLoader(4, 32, n_batches=1),
+        SyntheticEvalLoader(4, 32, n_batches=1), 8, 8, mesh, ctx,
+    )
+
+    # Deterministic GLOBAL batch; each process contributes its own
+    # contiguous quarter pair (DistributedSampler-style sharding).
+    rng = np.random.default_rng(123)
+    global_crops = rng.integers(0, 256, (8, 32, 32, 3), dtype=np.uint8)
+    global_flips = rng.random((8, 2)) < 0.5
+    lo = jax.process_index() * 4
+    crops_dev, flips_dev = trainer._put(
+        global_crops[lo:lo + 4], global_flips[lo:lo + 4]
+    )
+    state, loss = trainer.pretrain_step(trainer.state, crops_dev, flips_dev)
+
+    leaves = jax.tree.leaves(jax.device_get(state.gen_params))
+    result = {
+        "rank": rank,
+        "process_index": int(jax.process_index()),
+        "loss": float(loss),
+        "fingerprint": float(sum(np.abs(l).sum() for l in leaves)),
+        "first_leaf": np.asarray(leaves[0], np.float64)
+        .ravel()[:8].tolist(),
+    }
+    with open(out_path, "w") as fh:
+        json.dump(result, fh)
+
+
+if __name__ == "__main__":
+    main()

@@ -15,6 +15,7 @@ there is no CUDA device-count dance (reference torchsr.py:69-98);
 
 from __future__ import annotations
 
+import os
 import random
 from argparse import ArgumentParser, ArgumentTypeError, Namespace
 
@@ -199,8 +200,23 @@ def parse_args(argv: list[str] | None = None) -> Namespace:
     return parser.parse_args(argv)
 
 
+def _honor_platform_env() -> None:
+    """Make JAX_PLATFORMS effective even under PJRT plugins that ignore
+    the env var (e.g. the TPU plugin): the explicit config knob takes
+    precedence, so JAX_PLATFORMS=cpu reliably forces a CPU run."""
+    env = os.environ.get("JAX_PLATFORMS", "").strip()
+    if env:
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", env)
+        except Exception:
+            pass  # backend already initialized by the caller
+
+
 def main(argv: list[str] | None = None) -> None:
     args = parse_args(argv)
+    _honor_platform_env()
 
     if args.seed:
         random.seed(args.seed)

@@ -42,6 +42,18 @@ class DistributedContext:
         return self.rank in (-1, 0)
 
 
+def _distributed_client_active() -> bool:
+    """True when jax's distributed runtime is already initialized (e.g.
+    a launcher or an earlier detect_distributed call did it), WITHOUT
+    touching the XLA backend the way jax.process_count() would."""
+    try:
+        from jax._src import distributed as _dist
+
+        return _dist.global_state.client is not None
+    except Exception:
+        return False
+
+
 def detect_distributed(
     master_addr: str | None = None, master_port: str | None = None
 ) -> DistributedContext:
@@ -72,7 +84,11 @@ def detect_distributed(
     if not distributed:
         return DistributedContext(1, -1, -1, 1, False)
 
-    if world_size > 1 and jax.process_count() == 1:
+    if world_size > 1 and not _distributed_client_active():
+        # NOTE: probing jax.process_count() here instead would
+        # initialize the XLA backend and make jax.distributed.initialize
+        # impossible ("must be called before any JAX calls") — the
+        # idempotence check must not touch the backend.
         addr = master_addr or os.environ.get("MASTER_ADDR", "127.0.0.1")
         port = master_port or os.environ.get("MASTER_PORT", "29500")
         num_processes = world_size // max(local_world_size, 1) or 1
