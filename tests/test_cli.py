@@ -79,6 +79,14 @@ def test_cli_train_then_test(image_dir, tmp_path, monkeypatch):
     out2 = np.asarray(Image.open("upres-input.png"))
     assert out2.shape == (160, 192, 3)
 
+    # spatially-sharded halo-exchange path (8 virtual devices)
+    main([
+        "test", "input.png", "--model", "srgan",
+        "--spatial-shard", "--tile-overlap", "4",
+    ])
+    out3 = np.asarray(Image.open("upres-input.png"))
+    assert out3.shape == (160, 192, 3)
+
 
 @pytest.mark.slow
 def test_cli_esrgan_pretrain(image_dir, tmp_path, monkeypatch):

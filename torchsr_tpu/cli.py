@@ -197,6 +197,12 @@ def parse_args(argv: list[str] | None = None) -> Namespace:
         "--tile-batch", type=int, default=8,
         help="Tiles per generator forward during tiled inference.",
     )
+    test.add_argument(
+        "--spatial-shard", action="store_true",
+        help="Shard the image spatially over all devices with ppermute "
+             "halo exchange (one collective round, fully local compute; "
+             "see infer/halo.py). Uses --tile-overlap as the halo.",
+    )
     return parser.parse_args(argv)
 
 

@@ -1,6 +1,14 @@
-"""Inference: single-shot, tiled, and mesh-sharded tiled upscaling."""
+"""Inference: single-shot, tiled, mesh-sharded tiled, and spatially-
+sharded halo-exchange upscaling."""
 
+from torchsr_tpu.infer.halo import halo_upscale, make_spatial_mesh
 from torchsr_tpu.infer.multichip import tiled_upscale_sharded
 from torchsr_tpu.infer.tiled import tiled_upscale, upscale_image
 
-__all__ = ["tiled_upscale", "upscale_image", "tiled_upscale_sharded"]
+__all__ = [
+    "tiled_upscale",
+    "upscale_image",
+    "tiled_upscale_sharded",
+    "halo_upscale",
+    "make_spatial_mesh",
+]

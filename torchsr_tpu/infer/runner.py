@@ -64,15 +64,28 @@ def run_test(args: Namespace, generator_cls) -> str:
         return generator.apply(v, batch, train=False)
 
     image = image_io.load_image(args.image)
-    sr = upscale_image(
-        jax.jit(infer_fn),
-        image,
-        scale=4,
-        tile=getattr(args, "tile", 0) or 0,
-        overlap=getattr(args, "tile_overlap", 16),
-        tile_batch=getattr(args, "tile_batch", 8),
-        params=variables,
-    )
+    if getattr(args, "spatial_shard", False):
+        from torchsr_tpu.infer.halo import halo_upscale, make_spatial_mesh
+
+        sr = halo_upscale(
+            infer_fn,
+            variables,
+            jnp.asarray(image, jnp.float32) / 255.0,
+            make_spatial_mesh(),
+            scale=4,
+            overlap=getattr(args, "tile_overlap", 16),
+        )
+        sr = jnp.clip(sr, 0.0, 1.0)
+    else:
+        sr = upscale_image(
+            jax.jit(infer_fn),
+            image,
+            scale=4,
+            tile=getattr(args, "tile", 0) or 0,
+            overlap=getattr(args, "tile_overlap", 16),
+            tile_batch=getattr(args, "tile_batch", 8),
+            params=variables,
+        )
     out_path = f"upres-{os.path.basename(args.image)}"
     image_io.save_image(np.asarray(sr), out_path)
     return out_path
