@@ -1,0 +1,92 @@
+"""A/B benchmark: fused Pallas RDB kernel vs the XLA conv lowering.
+
+Run on real TPU, in isolation (CLAUDE.md timing rules):
+
+    python tools/bench_rdb.py [--batch 16] [--hw 32] [--chain 30]
+
+Chained-dependency timing with a terminal scalar readback (the repo's
+standard honest-timing protocol); prints us/RDB and effective TFLOP/s
+for both paths and the speedup.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--hw", type=int, default=32)
+    ap.add_argument("--chain", type=int, default=30)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--f32", action="store_true")
+    args = ap.parse_args()
+
+    from torchsr_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from torchsr_tpu.models.esrgan import ResidualDenseBlock
+    from torchsr_tpu.ops.pallas.rdb import fused_rdb
+
+    dt = jnp.float32 if args.f32 else jnp.bfloat16
+    b, h, w = args.batch, args.hw, args.hw
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0, 0.5, (b, h, w, 64)), dt)
+    rdb = ResidualDenseBlock(dtype=dt)
+    params = rdb.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 64), dt)
+    )["params"]
+    ks = tuple(params[f"conv{i}"]["conv"]["kernel"] for i in range(1, 6))
+    bs = tuple(params[f"conv{i}"]["conv"]["bias"] for i in range(1, 6))
+
+    n = args.chain
+
+    @jax.jit
+    def chain_xla(params, x):
+        for _ in range(n):
+            x = rdb.apply({"params": params}, x)
+        return x
+
+    @jax.jit
+    def chain_pallas(ks, bs, x):
+        for _ in range(n):
+            x = fused_rdb(x, ks, bs)
+        return x
+
+    def bench(fn, *fixed, x=x):
+        y = fn(*fixed, x)
+        float(jnp.mean(y.astype(jnp.float32)))  # warm + readback
+        t0 = time.perf_counter()
+        y = x
+        for _ in range(args.iters):
+            y = fn(*fixed, y)
+        float(jnp.mean(y.astype(jnp.float32)))  # completion proof
+        return (time.perf_counter() - t0) / (args.iters * n) * 1e6
+
+    # correctness gate before timing
+    ref = np.asarray(rdb.apply({"params": params}, x), np.float32)
+    out = np.asarray(fused_rdb(x, ks, bs), np.float32)
+    err = np.abs(out - ref).max()
+    tol = 1e-4 if args.f32 else 3e-2
+    assert err < tol, f"fused RDB mismatch: {err}"
+
+    us_x = bench(chain_xla, params)
+    us_p = bench(chain_pallas, ks, bs)
+    flops = 2 * b * h * w * (4032 * 32 + 1728 * 64)
+    print(f"shape ({b},{h},{w},64) {dt.__name__}, err={err:.2e}",
+          file=sys.stderr)
+    print(f"XLA    {us_x:8.1f} us/RDB  {flops / us_x / 1e6:6.1f} TFLOP/s")
+    print(f"Pallas {us_p:8.1f} us/RDB  {flops / us_p / 1e6:6.1f} TFLOP/s")
+    print(f"speedup {us_x / us_p:.2f}x")
+
+
+if __name__ == "__main__":
+    main()
