@@ -56,3 +56,64 @@ def test_fused_rdb_multi_image_blocks():
     np.testing.assert_allclose(
         np.asarray(out[1]), np.asarray(solo[0]), rtol=1e-5, atol=1e-5
     )
+
+
+def test_fused_rdb_gradients_match_jax_grad():
+    """The custom-VJP Pallas backward == jax.grad of the flax block,
+    for the input, all five kernels, and all five biases."""
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(0, 0.5, (2, 8, 8, 64)), jnp.float32)
+    rdb = ResidualDenseBlock()
+    params = rdb.init(jax.random.PRNGKey(2), x)["params"]
+    for i in range(1, 6):
+        params[f"conv{i}"]["conv"]["bias"] = jnp.asarray(
+            rng.normal(0, 0.1, params[f"conv{i}"]["conv"]["bias"].shape),
+            jnp.float32,
+        )
+    ks = tuple(params[f"conv{i}"]["conv"]["kernel"] for i in range(1, 6))
+    bs = tuple(params[f"conv{i}"]["conv"]["bias"] for i in range(1, 6))
+    cot = jnp.asarray(rng.normal(0, 1, x.shape), jnp.float32)
+
+    gx_r, gp_r = jax.grad(
+        lambda x, p: jnp.sum(rdb.apply({"params": p}, x) * cot),
+        argnums=(0, 1),
+    )(x, params)
+    gx_p, gk_p, gb_p = jax.grad(
+        lambda x, ks, bs: jnp.sum(
+            fused_rdb(x, ks, bs, interpret=True) * cot
+        ),
+        argnums=(0, 1, 2),
+    )(x, ks, bs)
+
+    np.testing.assert_allclose(
+        np.asarray(gx_p), np.asarray(gx_r), rtol=1e-4, atol=1e-5
+    )
+    for i in range(5):
+        ref = gp_r[f"conv{i + 1}"]["conv"]
+        np.testing.assert_allclose(
+            np.asarray(gk_p[i]), np.asarray(ref["kernel"]),
+            rtol=1e-4, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(gb_p[i]), np.asarray(ref["bias"]),
+            rtol=1e-4, atol=1e-5,
+        )
+
+
+def test_fused_module_param_tree_and_forward_match():
+    """ResidualDenseBlock(fused=True) has the identical param tree and
+    output as the unfused module (checkpoint interchangeability)."""
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(0, 0.5, (2, 8, 8, 64)), jnp.float32)
+    plain = ResidualDenseBlock(fused=False)
+    fused = ResidualDenseBlock(fused=True, pallas_interpret=True)
+    p_plain = plain.init(jax.random.PRNGKey(5), x)
+    p_fused = fused.init(jax.random.PRNGKey(5), x)
+    assert jax.tree.structure(p_plain) == jax.tree.structure(p_fused)
+    for a, b in zip(jax.tree.leaves(p_plain), jax.tree.leaves(p_fused)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    out_p = plain.apply(p_plain, x)
+    out_f = fused.apply(p_plain, x)
+    np.testing.assert_allclose(
+        np.asarray(out_f), np.asarray(out_p), rtol=1e-5, atol=1e-5
+    )

@@ -28,11 +28,14 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
+import jax
+
 from torchsr_tpu.models.layers import (
     BatchNorm,
     Conv,
     Dense,
     SubpixelSpaceConv,
+    _ConvParams,
     leaky_relu,
 )
 from torchsr_tpu.ops.resize import nearest_upsample
@@ -46,16 +49,78 @@ _rdb_kernel_init = nn.initializers.variance_scaling(
 _zero_bias = nn.initializers.zeros
 
 
+class _RDBConvParams(nn.Module):
+    """Bare RDB conv params (no compute) with the exact param-tree
+    layout of the ``Conv`` wrapper (``conv{i}/conv/{kernel,bias}``), so
+    fused- and unfused-compute checkpoints are interchangeable."""
+
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        return _ConvParams(
+            self.features, (3, 3), self.in_features,
+            _rdb_kernel_init, name="conv",
+        )()
+
+
+def _use_fused_rdb(flag, x) -> bool:
+    """Resolve the fused-kernel auto default: the Pallas RDB kernel
+    needs the Mosaic TPU backend and a per-image spatial extent that
+    fits its VMEM block budget (ops/pallas/rdb.py)."""
+    if flag is not None:
+        return flag
+    from torchsr_tpu.ops.pallas.rdb import _MAX_BLOCK_ROWS
+
+    return (
+        jax.default_backend() == "tpu"
+        and x.shape[1] * x.shape[2] <= _MAX_BLOCK_ROWS
+    )
+
+
 class ResidualDenseBlock(nn.Module):
-    """5-conv dense block: each conv sees all previous outputs."""
+    """5-conv dense block: each conv sees all previous outputs.
+
+    ``fused=True`` (auto on TPU) computes the whole block in one Pallas
+    kernel (ops/pallas/rdb.py: VMEM-resident dense concat, lane-packed
+    GEMMs, custom-VJP backward) — measured 1.7x faster forward and
+    ~6.9x faster forward+backward than the XLA conv lowering on v5e.
+    Identical math and identical param tree; ``None`` auto-selects.
+    """
 
     channels: int = 64
     growth_channels: int = 32
     scale_ratio: float = 0.2
     dtype: Any = None
+    fused: bool | None = None
+    pallas_interpret: bool = False  # CI-only: interpret mode off-TPU
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if (
+            self.channels == 64
+            and self.growth_channels == 32
+            and _use_fused_rdb(self.fused, x)
+        ):
+            from torchsr_tpu.ops.pallas.rdb import fused_rdb
+
+            ks, bs = [], []
+            for i in range(5):
+                cin = self.channels + self.growth_channels * i
+                cout = self.growth_channels if i < 4 else self.channels
+                k, b = _RDBConvParams(
+                    cout, cin, name=f"conv{i + 1}"
+                )()
+                ks.append(k)
+                bs.append(b)
+            dtype = self.dtype or jnp.float32
+            return fused_rdb(
+                x.astype(dtype), tuple(ks), tuple(bs),
+                scale_ratio=self.scale_ratio,
+                interpret=self.pallas_interpret,
+            )
+
         def conv(features, name):
             return Conv(
                 features, (3, 3), dtype=self.dtype,
@@ -82,6 +147,8 @@ class RRDB(nn.Module):
     growth_channels: int = 32
     scale_ratio: float = 0.2
     dtype: Any = None
+    fused: bool | None = None
+    pallas_interpret: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -89,7 +156,9 @@ class RRDB(nn.Module):
         for i in range(3):
             out = ResidualDenseBlock(
                 self.channels, self.growth_channels, self.scale_ratio,
-                dtype=self.dtype, name=f"rdb{i + 1}",
+                dtype=self.dtype, fused=self.fused,
+                pallas_interpret=self.pallas_interpret,
+                name=f"rdb{i + 1}",
             )(out)
         return out * jnp.asarray(self.scale_ratio, out.dtype) + x
 
@@ -111,6 +180,10 @@ class ESRGANGenerator(nn.Module):
     # direct: folding them was measured ~10% slower (the repacked
     # kernel's zero-padding inflates FLOPs more than the lane win).
     fused_tail: bool = True
+    # Fused Pallas RDB kernel for the RRDB tower (None = auto: on for
+    # the Mosaic TPU backend when the spatial extent fits VMEM).
+    fused_rdb: bool | None = None
+    pallas_interpret: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
@@ -123,6 +196,8 @@ class ESRGANGenerator(nn.Module):
         out = conv1
         for i in range(self.num_rrdb_blocks):
             out = RRDB(64, 32, 0.2, dtype=self.dtype,
+                       fused=self.fused_rdb,
+                       pallas_interpret=self.pallas_interpret,
                        name=f"block{i}")(out)
 
         out = Conv(64, (3, 3), dtype=self.dtype, name="conv2")(out)

@@ -72,6 +72,20 @@ def pack_kernel(k_hwio: jnp.ndarray) -> jnp.ndarray:
     return jnp.transpose(k_hwio, (0, 2, 1, 3)).reshape(ky * ci, kx * co)
 
 
+def unpack_kernel(packed: jnp.ndarray, ci: int, co: int) -> jnp.ndarray:
+    """Inverse of :func:`pack_kernel`: (3*Ci, 3*Co) -> (3, 3, Ci, Co)."""
+    return jnp.transpose(
+        packed.reshape(3, ci, 3, co), (0, 2, 1, 3)
+    )
+
+
+def pack_kernel_t(k_hwio: jnp.ndarray) -> jnp.ndarray:
+    """(3, 3, Ci, Co) -> the TRANSPOSED packed weight (3*Co, 3*Ci):
+    row (dx*Co + co), column (dy*Ci + ci) — the backward GEMM operand."""
+    ky, kx, ci, co = k_hwio.shape
+    return jnp.transpose(k_hwio, (1, 3, 0, 2)).reshape(kx * co, ky * ci)
+
+
 def _leaky(x, slope=0.2):
     return jnp.where(x >= 0, x, x * slope)
 
@@ -97,32 +111,67 @@ def _shift(v, rows, fill_mask):
     return jnp.where(fill_mask, jnp.zeros_like(v), shifted)
 
 
+# dy slots inside the stacked feature buffer, padded to a 128-lane
+# multiple so GEMM operand slices start lane-aligned.
+_SLOT = 256
+
+
 def _rdb_fwd_kernel(x_ref, w1, w2, w3, w4, w5, b1, b2, b3, b4, b5,
-                    out_ref, f_ref, x3_ref, *, hw, wimg, scale):
+                    *refs, hw, wimg, scale, save_feat):
+    """The feature buffer x3 keeps THREE dy-shifted copies of the dense
+    features (slots: [0:192) = x[m-W], [256:448) = x[m], [512:704) =
+    x[m+W]).  Each conv then only appends its 32 new channels to the
+    three slots — the dy stacking is built incrementally instead of
+    recopied per conv, which cuts the VPU copy traffic ~3x versus
+    re-stacking (K=3C_in) buffers.  The GEMM splits into three
+    K=C_in passes (one per slot), accumulated in f32."""
+    if save_feat:
+        out_ref, feat_ref, x3_ref = refs
+    else:
+        (out_ref, x3_ref), feat_ref = refs, None
     mblk = x_ref.shape[0]
+    n_img = mblk // hw
     w_refs = (w1, w2, w3, w4, w5)
     b_refs = (b1, b2, b3, b4, b5)
 
-    pos = jax.lax.broadcasted_iota(jnp.int32, (mblk, 1), 0) % hw
-    col = pos % wimg
-    first_row = pos < wimg
-    last_row = pos >= hw - wimg
+    col = jax.lax.broadcasted_iota(jnp.int32, (mblk, 1), 0) % wimg
     first_col = col == 0
     last_col = col == wimg - 1
 
-    f_ref[:, :CHANNELS] = x_ref[:]
+    def grow(v, off, c):
+        """Append channels [off, off+c) to the three dy slots.  The
+        shift's zero-fill covers the block's outer boundaries; interior
+        image boundaries (multi-image blocks) are zeroed with static
+        stripe stores."""
+        x3_ref[:, _SLOT + off:_SLOT + off + c] = v
+        up = jnp.concatenate(
+            [jnp.zeros((wimg, c), v.dtype), v[:mblk - wimg]], axis=0
+        )
+        x3_ref[:, off:off + c] = up
+        dn = jnp.concatenate(
+            [v[wimg:], jnp.zeros((wimg, c), v.dtype)], axis=0
+        )
+        x3_ref[:, 2 * _SLOT + off:2 * _SLOT + off + c] = dn
+        zero = jnp.zeros((wimg, c), v.dtype)
+        for g in range(1, n_img):
+            x3_ref[g * hw:g * hw + wimg, off:off + c] = zero
+            x3_ref[g * hw - wimg:g * hw,
+                   2 * _SLOT + off:2 * _SLOT + off + c] = zero
+
+    grow(x_ref[:], 0, CHANNELS)
 
     out = None
     for i in range(5):
         cin, cout = _CIN[i], _COUT[i]
-        src = f_ref[:, :cin]
-        # dy-stacked GEMM input: slot 0 = x[m - W], 1 = x[m], 2 = x[m + W]
-        x3_ref[:, :cin] = _shift(src, wimg, first_row)
-        x3_ref[:, cin:2 * cin] = src
-        x3_ref[:, 2 * cin:3 * cin] = _shift(src, -wimg, last_row)
-        y = jnp.dot(
-            x3_ref[:, :3 * cin], w_refs[i][:],
-            preferred_element_type=jnp.float32,
+        w = w_refs[i]
+        y = (
+            jnp.dot(x3_ref[:, :cin], w[:cin],
+                    preferred_element_type=jnp.float32)
+            + jnp.dot(x3_ref[:, _SLOT:_SLOT + cin], w[cin:2 * cin],
+                      preferred_element_type=jnp.float32)
+            + jnp.dot(x3_ref[:, 2 * _SLOT:2 * _SLOT + cin],
+                      w[2 * cin:3 * cin],
+                      preferred_element_type=jnp.float32)
         )
         # horizontal-tap reduction: out[m] = y[m-1, dx=0] + y[m, dx=1]
         #                                  + y[m+1, dx=2]
@@ -133,25 +182,28 @@ def _rdb_fwd_kernel(x_ref, w1, w2, w3, w4, w5, b1, b2, b3, b4, b5,
             + b_refs[i][:]
         )
         if i < 4:
-            f_ref[:, CHANNELS + GROWTH * i:CHANNELS + GROWTH * (i + 1)] = (
-                _leaky(out).astype(f_ref.dtype)
-            )
+            grow(_leaky(out).astype(x3_ref.dtype),
+                 CHANNELS + GROWTH * i, GROWTH)
 
-    residual = f_ref[:, :CHANNELS].astype(jnp.float32)
+    residual = x3_ref[:, _SLOT:_SLOT + CHANNELS].astype(jnp.float32)
     out_ref[:] = (out * scale + residual).astype(out_ref.dtype)
+    if save_feat:
+        feat_ref[:] = x3_ref[:, _SLOT:_SLOT + FEAT]
 
 
-def _block_rows(batch: int, hw: int) -> int:
-    g = max(1, min(batch, _MAX_BLOCK_ROWS // hw))
+def _block_rows(batch: int, hw: int, cap: int = _MAX_BLOCK_ROWS) -> int:
+    g = max(1, min(batch, cap // hw))
     while batch % g:
         g -= 1
     return g * hw
 
 
 @functools.partial(
-    jax.jit, static_argnames=("height", "width", "scale", "interpret")
+    jax.jit,
+    static_argnames=("height", "width", "scale", "interpret", "save_feat"),
 )
-def _rdb_fwd(x2d, weights, biases, *, height, width, scale, interpret):
+def _rdb_fwd(x2d, weights, biases, *, height, width, scale, interpret,
+             save_feat=False):
     m, c = x2d.shape
     hw = height * width
     mblk = _block_rows(m // hw, hw)
@@ -159,8 +211,17 @@ def _rdb_fwd(x2d, weights, biases, *, height, width, scale, interpret):
     dt = x2d.dtype
 
     kernel = functools.partial(
-        _rdb_fwd_kernel, hw=hw, wimg=width, scale=scale
+        _rdb_fwd_kernel, hw=hw, wimg=width, scale=scale,
+        save_feat=save_feat,
     )
+    out_shape = jax.ShapeDtypeStruct((m, c), dt)
+    out_specs = pl.BlockSpec((mblk, c), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    if save_feat:
+        out_shape = (out_shape, jax.ShapeDtypeStruct((m, FEAT), dt))
+        out_specs = (out_specs,
+                     pl.BlockSpec((mblk, FEAT), lambda i: (i, 0),
+                                  memory_space=pltpu.VMEM))
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -172,15 +233,207 @@ def _rdb_fwd(x2d, weights, biases, *, height, width, scale, interpret):
             + [pl.BlockSpec(b.shape, lambda i: (0, 0),
                             memory_space=pltpu.VMEM) for b in biases]
         ),
-        out_specs=pl.BlockSpec((mblk, c), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m, c), dt),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((mblk, FEAT), dt),
-            pltpu.VMEM((mblk, 3 * FEAT), dt),
+            pltpu.VMEM((mblk, 3 * _SLOT), dt),
         ],
         interpret=interpret,
     )(x2d, *weights, *biases)
+
+
+def _rdb_bwd_kernel(g_ref, feat_ref, t1, t2, t3, t4, t5,
+                    dx_ref, dw1, dw2, dw3, dw4, dw5,
+                    db1, db2, db3, db4, db5,
+                    x3_ref, df_ref, *, hw, wimg, scale):
+    """Backward of the fused RDB.  Inputs: the output cotangent ``g``
+    and the forward's saved dense feature buffer (192 ch, post-
+    activation — the LeakyReLU derivative is recovered from its sign).
+    The dy-stacked slots are rebuilt with shifts (cheap), then each conv
+    is reversed: dy <- dx-untranspose of da, dW <- x3_slot^T @ dy
+    (K = M rows: an efficient MXU contraction), dF <- dy @ W^T
+    unshifted into the dense-gradient accumulator.  dW/db outputs map
+    every grid step onto the same block and accumulate across steps
+    (the TPU grid is sequential)."""
+    mblk = g_ref.shape[0]
+    n_img = mblk // hw
+    pid = pl.program_id(0)
+    t_refs = (t1, t2, t3, t4, t5)
+    dw_refs = (dw1, dw2, dw3, dw4, dw5)
+    db_refs = (db1, db2, db3, db4, db5)
+
+    pos = jax.lax.broadcasted_iota(jnp.int32, (mblk, 1), 0) % hw
+    col = pos % wimg
+    first_row = pos < wimg
+    last_row = pos >= hw - wimg
+    first_col = col == 0
+    last_col = col == wimg - 1
+
+    feat = feat_ref[:]
+    x3_ref[:, _SLOT:_SLOT + FEAT] = feat
+    x3_ref[:, :FEAT] = jnp.concatenate(
+        [jnp.zeros((wimg, FEAT), feat.dtype), feat[:mblk - wimg]], axis=0
+    )
+    x3_ref[:, 2 * _SLOT:2 * _SLOT + FEAT] = jnp.concatenate(
+        [feat[wimg:], jnp.zeros((wimg, FEAT), feat.dtype)], axis=0
+    )
+    zero = jnp.zeros((wimg, FEAT), feat.dtype)
+    for gi in range(1, n_img):
+        x3_ref[gi * hw:gi * hw + wimg, :FEAT] = zero
+        x3_ref[gi * hw - wimg:gi * hw,
+               2 * _SLOT:2 * _SLOT + FEAT] = zero
+
+    df_ref[:] = jnp.zeros(df_ref.shape, df_ref.dtype)
+
+    g = g_ref[:].astype(jnp.float32)
+    da = g * scale
+    dws, dbs = [None] * 5, [None] * 5
+    for i in reversed(range(5)):
+        cin, cout = _CIN[i], _COUT[i]
+        dbs[i] = jnp.sum(da, axis=0, keepdims=True)
+        # transpose of the dx reduction: dy_l[m] = da[m+1] (valid unless
+        # m is a row's last col), dy_r[m] = da[m-1] (unless first col)
+        dy = jnp.concatenate([
+            _shift(da, -1, last_col), da, _shift(da, 1, first_col),
+        ], axis=1).astype(x3_ref.dtype)
+        dw_parts = []
+        for s in range(3):
+            xs = x3_ref[:, s * _SLOT:s * _SLOT + cin]
+            dw_parts.append(jax.lax.dot_general(
+                xs, dy, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ))
+        dws[i] = jnp.concatenate(dw_parts, axis=0)  # (3cin, 3cout)
+        dx3 = jnp.dot(dy, t_refs[i][:], preferred_element_type=jnp.float32)
+        # transpose of the dy slot builds (up was shift +W mask
+        # first_row; dn was shift -W mask last_row)
+        contrib = (
+            _shift(dx3[:, :cin], -wimg, last_row)
+            + dx3[:, cin:2 * cin]
+            + _shift(dx3[:, 2 * cin:], wimg, first_row)
+        )
+        df_ref[:, :cin] = df_ref[:, :cin] + contrib
+        if i > 0:
+            lo = CHANNELS + GROWTH * (i - 1)
+            act = feat[:, lo:lo + GROWTH]
+            # LeakyReLU'(a) = 1 if a > 0 else 0.2, recovered from the
+            # post-activation sign; arithmetic instead of a
+            # scalar-branch select (Mosaic i1-relayout limitation).
+            da = df_ref[:, lo:lo + GROWTH] * (
+                0.2 + 0.8 * (act.astype(jnp.float32) > 0.0).astype(
+                    jnp.float32)
+            )
+
+    dx_ref[:] = (df_ref[:, :CHANNELS] + g).astype(dx_ref.dtype)
+
+    @pl.when(pid == 0)
+    def _():
+        for ref, val in zip(dw_refs, dws):
+            ref[:] = val
+        for ref, val in zip(db_refs, dbs):
+            ref[:] = val
+
+    @pl.when(pid > 0)
+    def _():
+        for ref, val in zip(dw_refs, dws):
+            ref[:] = ref[:] + val
+        for ref, val in zip(db_refs, dbs):
+            ref[:] = ref[:] + val
+
+
+# Backward holds an extra f32 dense-gradient buffer and (rows, 576) f32
+# GEMM outputs: halve the block versus the forward.
+_MAX_BLOCK_ROWS_BWD = 1024
+
+
+@functools.partial(
+    jax.jit, static_argnames=("height", "width", "scale", "interpret")
+)
+def _rdb_bwd(g2d, feat2d, weights_t, *, height, width, scale, interpret):
+    m, c = g2d.shape
+    hw = height * width
+    mblk = _block_rows(m // hw, hw, cap=_MAX_BLOCK_ROWS_BWD)
+    grid = (m // mblk,)
+    dt = g2d.dtype
+
+    kernel = functools.partial(
+        _rdb_bwd_kernel, hw=hw, wimg=width, scale=scale
+    )
+    const = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i: tuple(0 for _ in shape),
+        memory_space=pltpu.VMEM,
+    )
+    out_shape = (
+        [jax.ShapeDtypeStruct((m, c), dt)]
+        + [jax.ShapeDtypeStruct((3 * _CIN[i], 3 * _COUT[i]), jnp.float32)
+           for i in range(5)]
+        + [jax.ShapeDtypeStruct((1, _COUT[i]), jnp.float32)
+           for i in range(5)]
+    )
+    out_specs = (
+        [pl.BlockSpec((mblk, c), lambda i: (i, 0),
+                      memory_space=pltpu.VMEM)]
+        + [const((3 * _CIN[i], 3 * _COUT[i])) for i in range(5)]
+        + [const((1, _COUT[i])) for i in range(5)]
+    )
+    res = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=(
+            [pl.BlockSpec((mblk, c), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM),
+             pl.BlockSpec((mblk, FEAT), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)]
+            + [const(w.shape) for w in weights_t]
+        ),
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((mblk, 3 * _SLOT), dt),
+            pltpu.VMEM((mblk, FEAT), jnp.float32),
+        ],
+        interpret=interpret,
+    )(g2d, feat2d, *weights_t)
+    return res[0], tuple(res[1:6]), tuple(res[6:11])
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _fused_rdb_diff(x, kernels, biases, scale_ratio, interpret):
+    return _fused_rdb_fwd(x, kernels, biases, scale_ratio, interpret)[0]
+
+
+def _fused_rdb_fwd(x, kernels, biases, scale_ratio, interpret):
+    b, h, w, c = x.shape
+    dt = x.dtype
+    packed = tuple(pack_kernel(k).astype(dt) for k in kernels)
+    bias2d = tuple(jnp.reshape(v, (1, -1)).astype(jnp.float32)
+                   for v in biases)
+    out, feat = _rdb_fwd(
+        x.reshape(b * h * w, c), packed, bias2d,
+        height=h, width=w, scale=scale_ratio, interpret=interpret,
+        save_feat=True,
+    )
+    return out.reshape(b, h, w, c), (feat, kernels)
+
+
+def _fused_rdb_bwd(scale_ratio, interpret, residuals, g):
+    feat, kernels = residuals
+    b, h, w, c = g.shape
+    dt = feat.dtype
+    weights_t = tuple(pack_kernel_t(k).astype(dt) for k in kernels)
+    dx2d, dws, dbs = _rdb_bwd(
+        g.reshape(b * h * w, c).astype(dt), feat, weights_t,
+        height=h, width=w, scale=scale_ratio, interpret=interpret,
+    )
+    dks = tuple(
+        unpack_kernel(dw, _CIN[i], _COUT[i]).astype(kernels[i].dtype)
+        for i, dw in enumerate(dws)
+    )
+    dbs = tuple(db.reshape(-1) for db in dbs)
+    return dx2d.reshape(b, h, w, c), dks, dbs
+
+
+_fused_rdb_diff.defvjp(_fused_rdb_fwd, _fused_rdb_bwd)
 
 
 def fused_rdb(
@@ -196,17 +449,12 @@ def fused_rdb(
     ``x``: (B, H, W, 64) NHWC. ``kernels``: five HWIO (3, 3, Ci, Co)
     conv kernels with Ci = 64+32i; ``biases``: five (Co,) vectors.
     Identical math to the unfused flax ``ResidualDenseBlock``
-    (models/esrgan.py:49-75); f32 accumulation; differentiable via a
-    custom VJP whose backward is also a Pallas kernel.
+    (models/esrgan.py:49-75); f32 accumulation; differentiable — the
+    backward pass is a second Pallas kernel (``_rdb_bwd_kernel``) wired
+    through ``jax.custom_vjp``, with the post-activation dense feature
+    buffer as the saved residual.
     """
-    b, h, w, c = x.shape
-    dt = x.dtype
-    packed = tuple(pack_kernel(k).astype(dt) for k in kernels)
-    bias2d = tuple(jnp.reshape(v, (1, -1)).astype(jnp.float32)
-                   for v in biases)
-    x2d = x.reshape(b * h * w, c)
-    out = _rdb_fwd(
-        x2d, packed, bias2d,
-        height=h, width=w, scale=float(scale_ratio), interpret=interpret,
+    return _fused_rdb_diff(
+        x, tuple(kernels), tuple(biases), float(scale_ratio),
+        bool(interpret),
     )
-    return out.reshape(b, h, w, c)
