@@ -100,6 +100,41 @@ def test_fused_rdb_gradients_match_jax_grad():
         )
 
 
+def test_fused_rdb_shard_map_matches_single_device():
+    """With a mesh, the fused RDB runs under shard_map over the batch
+    axis (XLA would otherwise all-gather around the Pallas call); the
+    sharded outputs AND gradients must equal the single-device ones,
+    including the psum'd replicated weight/bias grads."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    mesh = Mesh(np.asarray(jax.devices()), ("data",))
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(0, 0.5, (8, 8, 8, 64)), jnp.float32)
+    rdb = ResidualDenseBlock()
+    params = rdb.init(jax.random.PRNGKey(4), x)["params"]
+    ks = tuple(params[f"conv{i}"]["conv"]["kernel"] for i in range(1, 6))
+    bs = tuple(params[f"conv{i}"]["conv"]["bias"] for i in range(1, 6))
+
+    def loss(x, ks, bs, mesh=None):
+        out = fused_rdb(x, ks, bs, interpret=True, mesh=mesh)
+        return jnp.sum(out ** 2)
+
+    ref = jax.grad(loss, argnums=(0, 1, 2))(x, ks, bs)
+
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+    ksr = jax.device_put(ks, NamedSharding(mesh, P()))
+    bsr = jax.device_put(bs, NamedSharding(mesh, P()))
+    got = jax.jit(
+        jax.grad(lambda x, k, b: loss(x, k, b, mesh=mesh),
+                 argnums=(0, 1, 2))
+    )(xs, ksr, bsr)
+
+    for r, g in zip(jax.tree.leaves(ref), jax.tree.leaves(got)):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(r), rtol=1e-4, atol=1e-5
+        )
+
+
 def test_fused_module_param_tree_and_forward_match():
     """ResidualDenseBlock(fused=True) has the identical param tree and
     output as the unfused module (checkpoint interchangeability)."""

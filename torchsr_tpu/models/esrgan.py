@@ -95,6 +95,9 @@ class ResidualDenseBlock(nn.Module):
     dtype: Any = None
     fused: bool | None = None
     pallas_interpret: bool = False  # CI-only: interpret mode off-TPU
+    # Mesh for multi-device runs: the fused kernel must run under
+    # shard_map over the batch axis (ops/pallas/rdb.py docstring).
+    mesh: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -119,6 +122,7 @@ class ResidualDenseBlock(nn.Module):
                 x.astype(dtype), tuple(ks), tuple(bs),
                 scale_ratio=self.scale_ratio,
                 interpret=self.pallas_interpret,
+                mesh=self.mesh,
             )
 
         def conv(features, name):
@@ -149,6 +153,7 @@ class RRDB(nn.Module):
     dtype: Any = None
     fused: bool | None = None
     pallas_interpret: bool = False
+    mesh: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -158,6 +163,7 @@ class RRDB(nn.Module):
                 self.channels, self.growth_channels, self.scale_ratio,
                 dtype=self.dtype, fused=self.fused,
                 pallas_interpret=self.pallas_interpret,
+                mesh=self.mesh,
                 name=f"rdb{i + 1}",
             )(out)
         return out * jnp.asarray(self.scale_ratio, out.dtype) + x
@@ -184,6 +190,7 @@ class ESRGANGenerator(nn.Module):
     # the Mosaic TPU backend when the spatial extent fits VMEM).
     fused_rdb: bool | None = None
     pallas_interpret: bool = False
+    mesh: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
@@ -198,6 +205,7 @@ class ESRGANGenerator(nn.Module):
             out = RRDB(64, 32, 0.2, dtype=self.dtype,
                        fused=self.fused_rdb,
                        pallas_interpret=self.pallas_interpret,
+                       mesh=self.mesh,
                        name=f"block{i}")(out)
 
         out = Conv(64, (3, 3), dtype=self.dtype, name="conv2")(out)

@@ -443,6 +443,8 @@ def fused_rdb(
     *,
     scale_ratio: float = 0.2,
     interpret: bool = False,
+    mesh=None,
+    batch_axis: str = "data",
 ) -> jnp.ndarray:
     """Fused residual dense block: ``x + 0.2 * conv5(dense(x))``.
 
@@ -453,8 +455,42 @@ def fused_rdb(
     backward pass is a second Pallas kernel (``_rdb_bwd_kernel``) wired
     through ``jax.custom_vjp``, with the post-activation dense feature
     buffer as the saved residual.
+
+    ``mesh``: pass the training ``Mesh`` on multi-device runs.  XLA's
+    SPMD partitioner has no rule for a Pallas custom call, so under
+    plain sharding propagation it ALL-GATHERS the batch to every device
+    and runs the kernel replicated (measured: 62 gathers on the 8-dev
+    test mesh).  With ``mesh`` the call runs inside ``shard_map`` over
+    ``batch_axis``: each chip runs the kernel on its local batch shard
+    and the custom-VJP transposes to a psum for the replicated weight
+    gradients — the data-parallel semantics the rest of the trainer
+    gets from propagation.
     """
+    kernels, biases = tuple(kernels), tuple(biases)
+    if (
+        mesh is not None
+        and mesh.devices.size > 1
+        and x.shape[0] % mesh.devices.size == 0
+    ):
+        # (indivisible batches — e.g. the batch-1 progress render —
+        # fall through to the plain call: replicated, correct, and rare)
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        def local(x, kernels, biases):
+            return _fused_rdb_diff(
+                x, kernels, biases, float(scale_ratio), bool(interpret)
+            )
+
+        return shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(batch_axis), P(), P()),
+            out_specs=P(batch_axis),
+            # pallas_call's ShapeDtypeStruct outputs carry no varying-
+            # mesh-axes annotation, which the vma checker requires.
+            check_vma=False,
+        )(x, kernels, biases)
     return _fused_rdb_diff(
-        x, tuple(kernels), tuple(biases), float(scale_ratio),
-        bool(interpret),
+        x, kernels, biases, float(scale_ratio), bool(interpret)
     )

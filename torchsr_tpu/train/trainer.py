@@ -803,10 +803,14 @@ class ESRGANTrainer(GANTrainer):
     def _build_models(self, dtype) -> None:
         blocks = getattr(self.args, "num_residual", None) or 23
         vgg_convs = getattr(self.args, "vgg_convs", None)
+        # On multi-device meshes the fused Pallas RDB path must run
+        # under shard_map over the batch axis — XLA's partitioner would
+        # otherwise all-gather around the custom call (rdb.py docstring).
+        mesh = self.mesh if self.mesh.devices.size > 1 else None
         self.gen_train = ESRGANGenerator(
-            num_rrdb_blocks=blocks, dtype=dtype
+            num_rrdb_blocks=blocks, dtype=dtype, mesh=mesh
         )
-        self.gen_eval = ESRGANGenerator(num_rrdb_blocks=blocks)
+        self.gen_eval = ESRGANGenerator(num_rrdb_blocks=blocks, mesh=mesh)
         self.disc_train = ESRGANDiscriminator(
             image_size=self.crop_size, dtype=dtype
         )
