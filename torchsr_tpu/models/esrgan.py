@@ -71,11 +71,11 @@ def _use_fused_rdb(flag, x) -> bool:
     fits its VMEM block budget (ops/pallas/rdb.py)."""
     if flag is not None:
         return flag
-    from torchsr_tpu.ops.pallas.rdb import _MAX_BLOCK_ROWS
+    from torchsr_tpu.ops.pallas.rdb import _MAX_IMAGE_ROWS
 
     return (
         jax.default_backend() == "tpu"
-        and x.shape[1] * x.shape[2] <= _MAX_BLOCK_ROWS
+        and x.shape[1] * x.shape[2] <= _MAX_IMAGE_ROWS
     )
 
 

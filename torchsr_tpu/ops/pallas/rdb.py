@@ -55,11 +55,17 @@ _CIN = (64, 96, 128, 160, 192)
 _COUT = (32, 32, 32, 32, 64)
 FEAT = _CIN[-1]  # dense feature buffer width
 
-# Largest per-grid-step row count: bounds VMEM.  At 2048 rows: x3
+# Preferred per-grid-step row count: bounds VMEM.  At 2048 rows: x3
 # scratch (2048x576 bf16) 2.25 MB + feature buffer 0.75 MB + f32 GEMM
 # output values ~2.4 MB + double-buffered in/out blocks 2 MB + weights
-# 0.5 MB ~= 8 MB of the 16 MB VMEM (4096 measured 17.15 MB: OOM).
+# 0.5 MB ~= 8 MB of the default 16 MB scoped-VMEM limit.
 _MAX_BLOCK_ROWS = 2048
+# A single image larger than the preferred block cannot be split (the
+# dy shifts need the whole image in one grid step), so up to this many
+# rows the kernel runs with one image per step and a raised scoped-VMEM
+# limit (v5e has 128 MB physical VMEM).  4096 rows = a 64x64 LR tile.
+_MAX_IMAGE_ROWS = 4096
+_BIG_BLOCK_VMEM = 64 * 1024 * 1024
 
 
 def pack_kernel(k_hwio: jnp.ndarray) -> jnp.ndarray:
@@ -191,6 +197,14 @@ def _rdb_fwd_kernel(x_ref, w1, w2, w3, w4, w5, b1, b2, b3, b4, b5,
         feat_ref[:] = x3_ref[:, _SLOT:_SLOT + FEAT]
 
 
+def _compiler_params(mblk: int):
+    """Raise the scoped-VMEM limit for single-image blocks larger than
+    the preferred size (the 16 MB default only fits ~2048-row blocks)."""
+    if mblk <= _MAX_BLOCK_ROWS:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=_BIG_BLOCK_VMEM)
+
+
 def _block_rows(batch: int, hw: int, cap: int = _MAX_BLOCK_ROWS) -> int:
     g = max(1, min(batch, cap // hw))
     while batch % g:
@@ -238,6 +252,7 @@ def _rdb_fwd(x2d, weights, biases, *, height, width, scale, interpret,
         scratch_shapes=[
             pltpu.VMEM((mblk, 3 * _SLOT), dt),
         ],
+        compiler_params=_compiler_params(mblk),
         interpret=interpret,
     )(x2d, *weights, *biases)
 
@@ -392,6 +407,7 @@ def _rdb_bwd(g2d, feat2d, weights_t, *, height, width, scale, interpret):
             pltpu.VMEM((mblk, 3 * _SLOT), dt),
             pltpu.VMEM((mblk, FEAT), jnp.float32),
         ],
+        compiler_params=_compiler_params(mblk),
         interpret=interpret,
     )(g2d, feat2d, *weights_t)
     return res[0], tuple(res[1:6]), tuple(res[6:11])
