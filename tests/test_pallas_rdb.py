@@ -135,6 +135,46 @@ def test_fused_rdb_shard_map_matches_single_device():
         )
 
 
+@pytest.mark.slow
+def test_trainer_gan_step_fused_sharded():
+    """Full ESRGAN GAN step with the fused (interpret-mode) RDB kernel
+    under shard_map on the 8-device mesh — the complete multi-chip
+    training path for the new kernel: pretrain + GAN step, all three
+    optimizers, finite losses."""
+    from argparse import Namespace
+
+    from jax.sharding import Mesh
+
+    from torchsr_tpu.data.synthetic import (
+        SyntheticEvalLoader,
+        SyntheticTrainLoader,
+    )
+    from torchsr_tpu.parallel.mesh import DistributedContext
+    from torchsr_tpu.train.trainer import ESRGANTrainer
+
+    mesh = Mesh(np.asarray(jax.devices()), ("data",))
+    args = Namespace(
+        batch_size=8, disable_amp=True, epochs=1, pretrain_epochs=1,
+        gan_checkpoint=None, psnr_checkpoint=None, seed=0,
+        skip_image_save=True, model="esrgan", num_residual=1,
+        vgg_convs=2, fused_rdb=True, pallas_interpret=True,
+    )
+    tl = SyntheticTrainLoader(8, 32, n_batches=1)
+    el = SyntheticEvalLoader(8, 32, n_batches=1)
+    tr = ESRGANTrainer(
+        args, tl, el, tl.dataset_len, el.dataset_len, mesh,
+        DistributedContext(1, -1, -1, 1, False),
+    )
+    crops, flips = next(iter(tl.epoch(0)))
+    cd, fd = tr._put(crops, flips)
+    tr.state, loss = tr.pretrain_step(tr.state, cd, fd)
+    cd, fd = tr._put(crops, flips)
+    tr.state, m = tr.gan_step(tr.state, cd, fd, 1e-4, 1e-4, tr.vgg_params)
+    assert np.isfinite(float(loss))
+    assert np.isfinite(float(m["disc_loss"]))
+    assert np.isfinite(float(m["gen_loss"]))
+
+
 def test_fused_module_param_tree_and_forward_match():
     """ResidualDenseBlock(fused=True) has the identical param tree and
     output as the unfused module (checkpoint interchangeability)."""

@@ -807,10 +807,16 @@ class ESRGANTrainer(GANTrainer):
         # under shard_map over the batch axis — XLA's partitioner would
         # otherwise all-gather around the custom call (rdb.py docstring).
         mesh = self.mesh if self.mesh.devices.size > 1 else None
+        fused = getattr(self.args, "fused_rdb", None)
+        interp = bool(getattr(self.args, "pallas_interpret", False))
         self.gen_train = ESRGANGenerator(
-            num_rrdb_blocks=blocks, dtype=dtype, mesh=mesh
+            num_rrdb_blocks=blocks, dtype=dtype, mesh=mesh,
+            fused_rdb=fused, pallas_interpret=interp,
         )
-        self.gen_eval = ESRGANGenerator(num_rrdb_blocks=blocks, mesh=mesh)
+        self.gen_eval = ESRGANGenerator(
+            num_rrdb_blocks=blocks, mesh=mesh,
+            fused_rdb=fused, pallas_interpret=interp,
+        )
         self.disc_train = ESRGANDiscriminator(
             image_size=self.crop_size, dtype=dtype
         )
