@@ -197,10 +197,10 @@ def _rdb_fwd_kernel(x_ref, w1, w2, w3, w4, w5, b1, b2, b3, b4, b5,
         feat_ref[:] = x3_ref[:, _SLOT:_SLOT + FEAT]
 
 
-def _compiler_params(mblk: int):
-    """Raise the scoped-VMEM limit for single-image blocks larger than
-    the preferred size (the 16 MB default only fits ~2048-row blocks)."""
-    if mblk <= _MAX_BLOCK_ROWS:
+def _compiler_params(mblk: int, limit_above: int = _MAX_BLOCK_ROWS):
+    """Raise the scoped-VMEM limit for blocks larger than what the
+    16 MB default fits (~2048 forward rows / ~1024 backward rows)."""
+    if mblk <= limit_above:
         return None
     return pltpu.CompilerParams(vmem_limit_bytes=_BIG_BLOCK_VMEM)
 
@@ -357,8 +357,9 @@ def _rdb_bwd_kernel(g_ref, feat_ref, t1, t2, t3, t4, t5,
 
 
 # Backward holds an extra f32 dense-gradient buffer and (rows, 576) f32
-# GEMM outputs: halve the block versus the forward.
-_MAX_BLOCK_ROWS_BWD = 1024
+# GEMM outputs; 2048-row blocks need the raised VMEM limit and measure
+# ~8% faster than 1024 (390 vs 424 us/RDB fwd+bwd).
+_MAX_BLOCK_ROWS_BWD = 2048
 
 
 @functools.partial(
@@ -407,7 +408,7 @@ def _rdb_bwd(g2d, feat2d, weights_t, *, height, width, scale, interpret):
             pltpu.VMEM((mblk, 3 * _SLOT), dt),
             pltpu.VMEM((mblk, FEAT), jnp.float32),
         ],
-        compiler_params=_compiler_params(mblk),
+        compiler_params=_compiler_params(mblk, limit_above=1024),
         interpret=interpret,
     )(g2d, feat2d, *weights_t)
     return res[0], tuple(res[1:6]), tuple(res[6:11])
