@@ -85,14 +85,19 @@ def bench_esrgan_gan() -> None:
         )
     float(m["gen_loss"])  # warmup completion readback
 
-    start = time.perf_counter()
-    for i in range(ESRGAN_STEPS):
-        crops, flips = batches[i % len(batches)]
-        trainer.state, m = trainer.gan_step(
-            trainer.state, crops, flips, 1e-4, 1e-4, trainer.vgg_params
-        )
-    float(m["gen_loss"])  # chain completion readback
-    elapsed = time.perf_counter() - start
+    # Two measured phases; keep the second.  The FIRST timing loop in a
+    # process reads several-fold slow on this runtime even after
+    # readback-terminated warmup (see CLAUDE.md benching rules).
+    for _phase in range(2):
+        start = time.perf_counter()
+        for i in range(ESRGAN_STEPS):
+            crops, flips = batches[i % len(batches)]
+            trainer.state, m = trainer.gan_step(
+                trainer.state, crops, flips, 1e-4, 1e-4,
+                trainer.vgg_params
+            )
+        float(m["gen_loss"])  # chain completion readback
+        elapsed = time.perf_counter() - start
 
     n_chips = len(mesh.devices.ravel())
     crops_per_sec = ESRGAN_BATCH * ESRGAN_STEPS / elapsed / n_chips
@@ -158,16 +163,18 @@ def main() -> None:
     # the final float() cannot return until every step has actually
     # executed.  On tunneled/async runtimes, block_until_ready alone
     # can report completion early; a data readback cannot lie.
-    start = time.perf_counter()
-    loss_acc = None
-    for i in range(MEASURE_STEPS):
-        crops, flips = batches[i % len(batches)]
-        trainer.state, loss = trainer.pretrain_step(
-            trainer.state, crops, flips
-        )
-        loss_acc = loss if loss_acc is None else loss_acc + loss
-    final = float(loss_acc)  # forces completion of the whole chain
-    elapsed = time.perf_counter() - start
+    # Two measured phases, keep the second (first-loop slowdown rule).
+    for _phase in range(2):
+        start = time.perf_counter()
+        loss_acc = None
+        for i in range(MEASURE_STEPS):
+            crops, flips = batches[i % len(batches)]
+            trainer.state, loss = trainer.pretrain_step(
+                trainer.state, crops, flips
+            )
+            loss_acc = loss if loss_acc is None else loss_acc + loss
+        final = float(loss_acc)  # forces completion of the whole chain
+        elapsed = time.perf_counter() - start
 
     per_step = elapsed / MEASURE_STEPS
     n_chips = len(mesh.devices.ravel())
