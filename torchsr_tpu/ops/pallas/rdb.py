@@ -197,10 +197,12 @@ def _rdb_fwd_kernel(x_ref, w1, w2, w3, w4, w5, b1, b2, b3, b4, b5,
         feat_ref[:] = x3_ref[:, _SLOT:_SLOT + FEAT]
 
 
-def _compiler_params(mblk: int, limit_above: int = _MAX_BLOCK_ROWS):
+def _compiler_params(mblk: int, itemsize: int, limit_bytes_above: int):
     """Raise the scoped-VMEM limit for blocks larger than what the
-    16 MB default fits (~2048 forward rows / ~1024 backward rows)."""
-    if mblk <= limit_above:
+    16 MB default fits.  The trigger is in BYTES of block rows so f32
+    blocks raise at half the row count of bf16 ones (an f32 eval-path
+    block measured 17.5 MB at 2048 rows where bf16 fit)."""
+    if mblk * itemsize <= limit_bytes_above:
         return None
     return pltpu.CompilerParams(vmem_limit_bytes=_BIG_BLOCK_VMEM)
 
@@ -252,7 +254,8 @@ def _rdb_fwd(x2d, weights, biases, *, height, width, scale, interpret,
         scratch_shapes=[
             pltpu.VMEM((mblk, 3 * _SLOT), dt),
         ],
-        compiler_params=_compiler_params(mblk),
+        compiler_params=_compiler_params(mblk, x2d.dtype.itemsize,
+                                         2 * _MAX_BLOCK_ROWS),
         interpret=interpret,
     )(x2d, *weights, *biases)
 
@@ -408,7 +411,10 @@ def _rdb_bwd(g2d, feat2d, weights_t, *, height, width, scale, interpret):
             pltpu.VMEM((mblk, 3 * _SLOT), dt),
             pltpu.VMEM((mblk, FEAT), jnp.float32),
         ],
-        compiler_params=_compiler_params(mblk, limit_above=1024),
+        # bf16 at the full 2048-row backward block already measures
+        # 16.9 MB: raise the limit for anything past 1024 bf16-rows.
+        compiler_params=_compiler_params(mblk, g2d.dtype.itemsize,
+                                         _MAX_BLOCK_ROWS_BWD),
         interpret=interpret,
     )(g2d, feat2d, *weights_t)
     return res[0], tuple(res[1:6]), tuple(res[6:11])
@@ -416,7 +422,21 @@ def _rdb_bwd(g2d, feat2d, weights_t, *, height, width, scale, interpret):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def _fused_rdb_diff(x, kernels, biases, scale_ratio, interpret):
-    return _fused_rdb_fwd(x, kernels, biases, scale_ratio, interpret)[0]
+    # Primal (non-differentiated) path: do NOT emit the feature-buffer
+    # residual output — inference/eval would pay its HBM write (and the
+    # f32 eval path its VMEM) for nothing.  The fwd RULE below runs the
+    # save_feat variant only under differentiation.
+    b, h, w, c = x.shape
+    dt = x.dtype
+    packed = tuple(pack_kernel(k).astype(dt) for k in kernels)
+    bias2d = tuple(jnp.reshape(v, (1, -1)).astype(jnp.float32)
+                   for v in biases)
+    out = _rdb_fwd(
+        x.reshape(b * h * w, c), packed, bias2d,
+        height=h, width=w, scale=scale_ratio, interpret=interpret,
+        save_feat=False,
+    )
+    return out.reshape(b, h, w, c)
 
 
 def _fused_rdb_fwd(x, kernels, biases, scale_ratio, interpret):
