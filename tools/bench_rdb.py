@@ -40,7 +40,10 @@ def main() -> None:
     b, h, w = args.batch, args.hw, args.hw
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(0, 0.5, (b, h, w, 64)), dt)
-    rdb = ResidualDenseBlock(dtype=dt)
+    # fused=False pins the true XLA-conv baseline (the module default
+    # auto-selects the fused kernel on TPU, which would bench the
+    # kernel against itself).
+    rdb = ResidualDenseBlock(dtype=dt, fused=False)
     params = rdb.init(
         jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 64), dt)
     )["params"]
