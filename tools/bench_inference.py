@@ -25,13 +25,18 @@ def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--model", default="esrgan",
                         choices=["srgan", "esrgan"])
-    parser.add_argument("--tile", type=int, default=128)
+    parser.add_argument("--tile", type=int, default=0,
+                        help="0 = model default: 64 for ESRGAN (keeps "
+                             "the fused Pallas RDB kernel active), 128 "
+                             "for SRGAN.")
     parser.add_argument("--overlap", type=int, default=16)
     parser.add_argument("--tile-batch", type=int, default=8)
     parser.add_argument("--blocks", type=int, default=0,
                         help="generator blocks (0 = full size)")
     parser.add_argument("--frames", type=int, default=3)
     args = parser.parse_args()
+    if not args.tile:
+        args.tile = 64 if args.model == "esrgan" else 128
 
     import jax
     import jax.numpy as jnp
