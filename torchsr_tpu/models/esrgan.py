@@ -26,9 +26,8 @@ from __future__ import annotations
 from typing import Any
 
 import flax.linen as nn
-import jax.numpy as jnp
-
 import jax
+import jax.numpy as jnp
 
 from torchsr_tpu.models.layers import (
     BatchNorm,
