@@ -22,7 +22,13 @@ def _params_and_ref(x, seed=0):
     return rdb.apply({"params": params}, x), ks, bs
 
 
-@pytest.mark.parametrize("shape", [(2, 8, 16, 64), (1, 12, 8, 64)])
+@pytest.mark.parametrize(
+    "shape",
+    # incl. widths that are not sublane-tile multiples (W=12) and odd
+    # spatial sizes — the shift/mask machinery must not assume
+    # alignment (TPU-compiled checks: 24/20/17/31-wide all exact)
+    [(2, 8, 16, 64), (1, 12, 8, 64), (2, 6, 12, 64), (1, 7, 9, 64)],
+)
 def test_fused_rdb_matches_flax(shape):
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(0, 0.5, shape), jnp.float32)
