@@ -1,10 +1,12 @@
 """The bench-regression gate's parsing/threshold logic (no TPU needed)."""
 
-import json
+import pathlib
 import subprocess
 import sys
 
 from tools.bench_regression import parse_metrics
+
+REPO = str(pathlib.Path(__file__).resolve().parents[1])
 
 
 def test_parse_metrics_picks_json_lines():
@@ -25,7 +27,7 @@ def test_gate_pass_and_fail(tmp_path):
     )
     r = subprocess.run(
         [sys.executable, "tools/bench_regression.py", "--check", str(out)],
-        capture_output=True, text=True, cwd="/root/repo",
+        capture_output=True, text=True, cwd=REPO,
     )
     assert r.returncode == 0, r.stdout + r.stderr
 
@@ -34,7 +36,7 @@ def test_gate_pass_and_fail(tmp_path):
     )
     r = subprocess.run(
         [sys.executable, "tools/bench_regression.py", "--check", str(out)],
-        capture_output=True, text=True, cwd="/root/repo",
+        capture_output=True, text=True, cwd=REPO,
     )
     assert r.returncode == 1
     assert "REGRESSION" in r.stdout and "MISSING" in r.stdout
