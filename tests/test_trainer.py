@@ -157,6 +157,43 @@ def test_esrgan_full_recipe(image_dir, workdir):
     assert trainer2._restore(ckpt, "gan") == 1
 
 
+def _eval_psnr(trainer) -> float:
+    """Masked mean eval PSNR over the trainer's test loader (the
+    trainer._test metric without the checkpoint/logging side effects)."""
+    bs = trainer.test_loader.batch_size
+    total, batches = 0.0, 0
+    for crops, valid in trainer.test_loader:
+        mask = (np.arange(bs) < valid).astype(np.float32)
+        crops_dev, mask_dev = trainer._put(crops, mask)
+        p, _s, _l = trainer.eval_step(
+            trainer.state.gen_params, trainer.state.gen_stats,
+            crops_dev, mask_dev,
+        )
+        total += float(p)
+        batches += 1
+    return total / max(batches, 1)
+
+
+@pytest.mark.slow
+def test_pretrain_learning_raises_psnr(structured_image_dir, workdir):
+    """The production pretrain path OPTIMIZES: over a few epochs on
+    structured (learnable) images, eval PSNR must rise by a clear
+    margin over the random-init generator.  This CI-izes the round-2
+    manual real-TPU learning validation (+11.6 dB over 25 epochs,
+    docs/benchmarks.md) — loss-finiteness and one-step param-movement
+    checks alone cannot catch sign/scale bugs that still 'train'."""
+    args = _args(model="srgan", pretrain_epochs=30, seed=3)
+    trainer = _make_trainer(structured_image_dir, args)
+    initial = _eval_psnr(trainer)
+    trainer._pretrain()
+    final = _eval_psnr(trainer)
+    assert final - initial >= 2.5, (
+        f"eval PSNR rose only {final - initial:.2f} dB "
+        f"({initial:.2f} -> {final:.2f}) over "
+        f"{args.pretrain_epochs} pretrain epochs"
+    )
+
+
 @pytest.mark.slow
 def test_sample_image_render(image_dir, workdir):
     """The per-epoch progress render (reference srgan/trainer.py:128-134,
