@@ -2,9 +2,11 @@
 
 Run by the driver on real TPU hardware.  The LAST line printed is the
 headline JSON record ``{"metric": ..., "value": N, "unit": ...,
-"vs_baseline": N}``; an ESRGAN full-GAN-step record (the reference's
-*default* training configuration, constants.py MODEL='ESRGAN') is
-printed as an earlier JSON line.
+"vs_baseline": N}``; earlier JSON lines record the ESRGAN full GAN step
+(the reference's *default* training configuration, constants.py
+MODEL='ESRGAN'), the SRGAN full GAN step, and tiled 1080p->4K inference
+throughput.  All four metrics are gated against regression floors by
+tools/bench_regression.py.
 
 Configuration: SRGAN, 96x96 HR crops (reference
 models.py CROP_SIZE['srgan']=96), batch 128, bf16 mixed precision,
@@ -36,6 +38,17 @@ V100_BASELINE_CROPS_PER_SEC = 500.0
 # crops/sec; 40 is the midpoint estimate (the reference itself publishes
 # nothing, BASELINE.md).
 V100_ESRGAN_GAN_CROPS_PER_SEC = 40.0
+# SRGAN full adversarial step on a V100: the GAN step costs ~3x the
+# pretrain step (3 discriminator forwards + VGG19 forwards on top of the
+# generator fwd+bwd, reference srgan/trainer.py:416-469), so ~150
+# crops/sec from the 500 crops/sec pretrain estimate.
+V100_SRGAN_GAN_CROPS_PER_SEC = 150.0
+# 4x SRGAN inference 1080p->4K on a V100 with fp16: the generator costs
+# ~1.2 MFLOP/LR-pixel; at the ~15-25 TFLOP/s a conv stack sustains,
+# ~0.15 s/frame => ~20 MP/s of 4K output.  (The reference publishes no
+# inference numbers and does a monolithic whole-image forward,
+# test.py:62.)
+V100_SRGAN_INFER_OUT_MP_PER_SEC = 20.0
 
 BATCH = 128
 CROP = 96
@@ -114,6 +127,123 @@ def bench_esrgan_gan() -> None:
     }))
 
 
+def bench_srgan_gan() -> None:
+    """SRGAN full adversarial step at the saturating batch (128):
+    generator forward (vjp-reused for the gen update), discriminator
+    update (2 forwards), VGG19-perceptual generator update, three Adam
+    states.  Chained steps ending in a scalar readback."""
+    from torchsr_tpu.data.synthetic import (
+        SyntheticEvalLoader,
+        SyntheticTrainLoader,
+    )
+    from torchsr_tpu.parallel.mesh import DistributedContext, make_mesh
+    from torchsr_tpu.train.trainer import SRGANTrainer
+
+    mesh = make_mesh()
+    ctx = DistributedContext(1, -1, -1, 1, False)
+    args = Namespace(
+        batch_size=BATCH, disable_amp=False, epochs=1, pretrain_epochs=1,
+        gan_checkpoint=None, psnr_checkpoint=None, seed=0,
+        skip_image_save=True, model="srgan",
+    )
+    tl = SyntheticTrainLoader(BATCH, CROP, n_batches=2)
+    el = SyntheticEvalLoader(BATCH, CROP, n_batches=1)
+    trainer = SRGANTrainer(
+        args, tl, el, tl.dataset_len, el.dataset_len, mesh, ctx
+    )
+    batches = [trainer._put(c, f) for c, f in tl.epoch(0)]
+
+    crops, flips = batches[0]
+    for _ in range(3):
+        trainer.state, m = trainer.gan_step(
+            trainer.state, crops, flips, 1e-4, 1e-4, trainer.vgg_params
+        )
+    float(m["gen_loss"])  # warmup completion readback
+
+    steps = 16
+    for _phase in range(2):
+        start = time.perf_counter()
+        for i in range(steps):
+            crops, flips = batches[i % len(batches)]
+            trainer.state, m = trainer.gan_step(
+                trainer.state, crops, flips, 1e-4, 1e-4,
+                trainer.vgg_params
+            )
+        float(m["gen_loss"])  # chain completion readback
+        elapsed = time.perf_counter() - start
+
+    n_chips = len(mesh.devices.ravel())
+    crops_per_sec = BATCH * steps / elapsed / n_chips
+    print(json.dumps({
+        "metric": "srgan_gan_step_crops_per_sec_per_chip",
+        "value": round(crops_per_sec, 2),
+        "unit": (
+            "crops/sec/chip (SRGAN full GAN step, 96x96 HR, batch 128, "
+            "bf16)"
+        ),
+        "vs_baseline": round(
+            crops_per_sec / V100_SRGAN_GAN_CROPS_PER_SEC, 3
+        ),
+    }))
+
+
+def bench_tiled_inference() -> None:
+    """Tiled overlap-blend 4x inference, 1080p -> 4K (BASELINE.md
+    config 5), SRGAN tile 128 / overlap 16 / tile-batch 8; reports 4K
+    output megapixels per second."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from torchsr_tpu.infer.tiled import tiled_upscale
+    from torchsr_tpu.models import SRGANGenerator
+
+    gen = SRGANGenerator(dtype=jnp.bfloat16)
+    tile = 128
+    x0 = jnp.zeros((1, tile, tile, 3))
+    variables = jax.device_put(
+        gen.init(jax.random.PRNGKey(0), x0, train=False)
+    )
+
+    def infer_fn(v, batch):
+        return gen.apply(v, batch, train=False)
+
+    rng = np.random.default_rng(0)
+    frame = jnp.asarray(rng.random((1080, 1920, 3)).astype(np.float32))
+
+    def run():
+        return tiled_upscale(
+            infer_fn, frame, scale=4, tile=tile, overlap=16,
+            tile_batch=8, params=variables,
+        )
+
+    out = run()
+    float(out.mean())  # compile + warmup completion readback
+    assert out.shape == (4320, 7680, 3)
+
+    frames = 3
+    for _phase in range(2):
+        start = time.perf_counter()
+        for _ in range(frames):
+            out = run()
+        float(out.mean())
+        elapsed = time.perf_counter() - start
+
+    per_frame = elapsed / frames
+    out_mp_per_sec = 4320 * 7680 / 1e6 / per_frame
+    print(json.dumps({
+        "metric": "srgan_tiled_infer_output_mp_per_sec",
+        "value": round(out_mp_per_sec, 2),
+        "unit": (
+            "4K-output MP/sec (SRGAN tiled 1080p->4K, tile 128, "
+            "overlap 16, tile-batch 8, bf16)"
+        ),
+        "vs_baseline": round(
+            out_mp_per_sec / V100_SRGAN_INFER_OUT_MP_PER_SEC, 3
+        ),
+    }))
+
+
 def main() -> None:
     import jax
 
@@ -129,6 +259,8 @@ def main() -> None:
     from torchsr_tpu.train.trainer import SRGANTrainer
 
     bench_esrgan_gan()
+    bench_srgan_gan()
+    bench_tiled_inference()
 
     mesh = make_mesh()
     ctx = DistributedContext(1, -1, -1, 1, False)
