@@ -95,6 +95,58 @@ def test_halo_srgan_generator_matches_monolithic():
     np.testing.assert_allclose(out, mono, rtol=2e-4, atol=2e-4)
 
 
+def test_halo_esrgan_fused_rdb_matches_monolithic():
+    """ESRGAN with the fused Pallas RDB forced on (interpret mode
+    off-TPU) through the halo path: inside shard_map the kernel sees
+    only the local extended block, and with the overlap covering the
+    receptive field (1 RRDB => ~18 LR px half-width) the sharded output
+    equals the monolithic forward."""
+    from torchsr_tpu.models.esrgan import ESRGANGenerator
+
+    gen = ESRGANGenerator(
+        num_rrdb_blocks=1, fused_rdb=True, pallas_interpret=True
+    )
+    rng = np.random.default_rng(5)
+    img = jnp.asarray(rng.random((80, 160, 3)), jnp.float32)
+    variables = gen.init(
+        jax.random.PRNGKey(3), jnp.zeros((1, 16, 16, 3)), train=False
+    )
+
+    def fn(v, batch):
+        return gen.apply(v, batch, train=False)
+
+    mesh = make_spatial_mesh(2, 4)
+    mono = np.asarray(fn(variables, img[None])[0])
+    out = np.asarray(
+        halo_upscale(fn, variables, img, mesh, scale=4, overlap=20)
+    )
+    assert out.shape == mono.shape == (320, 640, 3)
+    np.testing.assert_allclose(out, mono, rtol=2e-4, atol=2e-4)
+
+
+def test_fused_rdb_auto_gate_vmem_boundary(monkeypatch):
+    """The fused-RDB auto default (models/esrgan.py:_use_fused_rdb)
+    turns itself off above the kernel's single-image VMEM budget
+    (_MAX_IMAGE_ROWS) and off entirely away from the TPU backend —
+    the --spatial-shard / big-tile fallback boundary."""
+    from torchsr_tpu.models import esrgan
+    from torchsr_tpu.ops.pallas.rdb import _MAX_IMAGE_ROWS
+
+    side = int(np.sqrt(_MAX_IMAGE_ROWS))
+    small = jnp.zeros((1, side, side, 64))
+    big = jnp.zeros((1, side, side + 2, 64))  # just over the budget
+
+    # CPU backend: auto is always off (Mosaic is TPU-only).
+    assert not esrgan._use_fused_rdb(None, small)
+    # TPU backend (faked): on under the budget, off above it.
+    monkeypatch.setattr(esrgan.jax, "default_backend", lambda: "tpu")
+    assert esrgan._use_fused_rdb(None, small)
+    assert not esrgan._use_fused_rdb(None, big)
+    # An explicit flag always wins.
+    assert esrgan._use_fused_rdb(True, big)
+    assert not esrgan._use_fused_rdb(False, small)
+
+
 def test_halo_small_image_pads_to_min_blocks():
     """Images smaller than n_devices * 2*overlap are padded, not crashed."""
     fn, params = _toy_sr_fn()

@@ -2,14 +2,21 @@
 
 Tiles are independent work units, so arbitrary-size-image inference
 scales across a slice embarrassingly: the overlapping tile batch is
-sharded on the mesh's 'data' axis (every chip runs the generator on its
-shard of tiles in one jitted call — XLA partitions automatically, no
-collectives in the forward), and the sequential overlap-add runs once
-on the gathered SR tiles.
+sharded on the mesh's 'data' axis and the generator forward runs inside
+``shard_map`` — each chip executes the whole forward on its local tile
+shard with NO collectives.  shard_map (rather than relying on sharding
+propagation) is load-bearing for ESRGAN: XLA's SPMD partitioner has no
+rule for the fused Pallas RDB custom call and would all-gather the tile
+batch to every device and run the kernel replicated
+(ops/pallas/rdb.py; measured 62 gathers on the 8-device test mesh).
+Inside shard_map the kernel only ever sees the local batch, so pass the
+generator WITHOUT its own ``mesh=`` here.  The sequential overlap-add
+runs once on the gathered SR tiles.
 
 This is the multi-chip face of BASELINE.md config 5; single-chip users
 keep `infer.tiled.tiled_upscale`.  Validated on the virtual 8-device
-CPU mesh against the single-device path (tests/test_multichip_infer.py).
+CPU mesh against the single-device path — for both generators, ESRGAN
+with the fused kernel active (tests/test_multichip_infer.py).
 """
 
 from __future__ import annotations
@@ -75,7 +82,7 @@ def tiled_upscale_sharded(
     ys_s = jax.device_put(ys_arr, shard)
     xs_s = jax.device_put(xs_arr, shard)
     sr_tiles = _sharded_forward(
-        infer_fn, params, image_r, ys_s, xs_s, tile=tile
+        infer_fn, params, image_r, ys_s, xs_s, tile=tile, mesh=mesh
     )
 
     # Stage 2 (single program over gathered tiles): overlap-add.
@@ -86,13 +93,32 @@ def tiled_upscale_sharded(
     return out[: h * scale, : w * scale]
 
 
-@functools.partial(jax.jit, static_argnames=("infer_fn", "tile"))
-def _sharded_forward(infer_fn, params, image, ys, xs, *, tile):
-    def grab(y, x):
-        return jax.lax.dynamic_slice(image, (y, x, 0), (tile, tile, 3))
+@functools.partial(jax.jit, static_argnames=("infer_fn", "tile", "mesh"))
+def _sharded_forward(infer_fn, params, image, ys, xs, *, tile, mesh):
+    def local(params, image, ys, xs):
+        def grab(y, x):
+            return jax.lax.dynamic_slice(
+                image, (y, x, 0), (tile, tile, 3)
+            )
 
-    tiles = jax.vmap(grab)(ys, xs)  # sharded on the tile axis
-    return infer_fn(params, tiles)
+        tiles = jax.vmap(grab)(ys, xs)
+        return infer_fn(params, tiles)
+
+    if mesh is None or mesh.devices.size <= 1:
+        return local(params, image, ys, xs)
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(), P("data"), P("data")),
+        out_specs=P("data"),
+        # Pallas custom-call outputs carry no varying-mesh-axes
+        # annotation, which the vma checker requires.
+        check_vma=False,
+    )(params, image, ys, xs)
 
 
 @functools.partial(jax.jit, static_argnames=("canvas_hw", "scale"))
