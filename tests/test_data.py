@@ -110,6 +110,86 @@ def test_initialize_datasets_api(image_dir):
     assert isinstance(eval_loader, EvalLoader)
 
 
+def test_lru_cache_evicts_and_returns_correct_data(image_dir):
+    """The decode cache is LRU-bounded: with a budget under the working
+    set it evicts the least-recently-used image and keeps serving
+    correct pixels."""
+    from torchsr_tpu.data.loader import _ImageCache, _decode_rgb
+
+    images = sorted(discover_images(image_dir))[:3]
+    sizes = [_decode_rgb(p).nbytes for p in images]
+    cache = _ImageCache(max_bytes=sizes[0] + sizes[1] + 1)
+    for _ in range(2):  # two rounds through 3 images on a 2-image budget
+        for p in images:
+            np.testing.assert_array_equal(cache.get(p), _decode_rgb(p))
+    assert cache._used <= sizes[0] + sizes[1] + 1
+    assert len(cache._data) <= 2
+
+
+def test_windowed_shuffle_covers_and_varies(image_dir):
+    """The windowed shuffle is still a permutation (full coverage),
+    deterministic per (seed, epoch), different across epochs."""
+    images = discover_images(image_dir)
+    loader = TrainLoader(
+        images, batch_size=4, crop_size=32, workers=1, seed=0,
+        shuffle_window=4,
+    )
+    rng = np.random.default_rng((0, 0))
+    order = loader._window_reorder(rng.permutation(12), rng)
+    assert sorted(order.tolist()) == list(range(12))
+
+    a = [c for c, _ in loader.epoch(0)]
+    b = [c for c, _ in loader.epoch(0)]
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+    c = [cr for cr, _ in loader.epoch(1)]
+    assert not all(np.array_equal(x, y) for x, y in zip(a, c))
+
+
+def test_out_of_core_windowed_decodes_each_image_once(image_dir, monkeypatch):
+    """With a cache budget SMALLER than the dataset, the windowed
+    shuffle + LRU cache decode each image exactly once per epoch; the
+    global shuffle over the same budget necessarily re-decodes
+    (thrashes).  This is the out-of-core loader contract."""
+    import torchsr_tpu.data.loader as loader_mod
+
+    images = sorted(discover_images(image_dir))
+    per_image = max(
+        loader_mod._decode_rgb(p).nbytes for p in images
+    )
+    budget = 5 * per_image  # dataset is 12 images
+
+    calls = {"n": 0}
+    real = loader_mod._decode_rgb
+
+    def counting(path):
+        calls["n"] += 1
+        return real(path)
+
+    monkeypatch.setattr(loader_mod, "_decode_rgb", counting)
+
+    windowed = TrainLoader(
+        images, batch_size=4, crop_size=32, workers=1, seed=0,
+        cache_bytes=budget, shuffle_window=4,
+    )
+    for epoch in range(3):
+        calls["n"] = 0
+        list(windowed.epoch(epoch))
+        # at most one decode per image per epoch (cache carryover
+        # across the epoch boundary can make it fewer)
+        assert calls["n"] <= 12, (epoch, calls["n"])
+    assert calls["n"] > 0  # the budget really is under the dataset
+
+    global_shuffle = TrainLoader(
+        images, batch_size=4, crop_size=32, workers=1, seed=0,
+        cache_bytes=budget,
+    )
+    list(global_shuffle.epoch(0))  # fill the cache
+    calls["n"] = 0
+    list(global_shuffle.epoch(1))
+    assert calls["n"] > 0  # the bounded cache cannot avoid re-decodes
+
+
 def test_crop_too_small_raises(tmp_path):
     from PIL import Image
 

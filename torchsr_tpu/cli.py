@@ -72,6 +72,14 @@ def parse_args(argv: list[str] | None = None) -> Namespace:
              "random crops per image per epoch.",
     )
     train.add_argument(
+        "--shuffle-window", type=int, default=0,
+        help="Out-of-core shuffle: visit windows of N images in random "
+             "order instead of one global permutation, so datasets "
+             "larger than the decode-cache budget are decoded once "
+             "per epoch instead of thrashing. 0 (default) = global "
+             "shuffle.",
+    )
+    train.add_argument(
         "--disable-amp", action="store_true",
         help="Disable bfloat16 mixed precision (the TPU equivalent of "
              "CUDA AMP) and train in float32.",
@@ -259,6 +267,7 @@ def main(argv: list[str] | None = None) -> None:
         num_shards=jax.process_count(),
         shard_index=jax.process_index(),
         seed=args.seed,
+        shuffle_window=getattr(args, "shuffle_window", 0),
     )
     trainer = trainer_cls(
         args, train_loader, test_loader, train_len, test_len,

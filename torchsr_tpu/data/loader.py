@@ -40,24 +40,41 @@ def _decode_rgb(path: str) -> np.ndarray:
 
 
 class _ImageCache:
-    """Bounded in-RAM cache of decoded images (thread-safe)."""
+    """Bounded in-RAM LRU cache of decoded images (thread-safe).
+
+    Least-recently-used eviction (rather than first-come-stays) makes
+    the cache a sliding WINDOW over the access stream: combined with
+    the loader's windowed shuffle (``shuffle_window``), datasets larger
+    than the budget decode each image once per epoch instead of
+    re-decoding every sample (the out-of-core path; a plain global
+    shuffle over an over-budget dataset necessarily thrashes any
+    bounded cache).  Decoding happens outside the lock; a concurrent
+    duplicate decode of the same image is possible but harmless.
+    """
 
     def __init__(self, max_bytes: int) -> None:
         self._max_bytes = max_bytes
         self._used = 0
         self._lock = threading.Lock()
-        self._data: dict[str, np.ndarray] = {}
+        from collections import OrderedDict
+
+        self._data: "OrderedDict[str, np.ndarray]" = OrderedDict()
 
     def get(self, path: str) -> np.ndarray:
         with self._lock:
             cached = self._data.get(path)
-        if cached is not None:
-            return cached
+            if cached is not None:
+                self._data.move_to_end(path)
+                return cached
         arr = _decode_rgb(path)
         with self._lock:
-            if path not in self._data and self._used + arr.nbytes <= self._max_bytes:
-                self._data[path] = arr
-                self._used += arr.nbytes
+            if path not in self._data:
+                while self._data and self._used + arr.nbytes > self._max_bytes:
+                    _, old = self._data.popitem(last=False)
+                    self._used -= old.nbytes
+                if self._used + arr.nbytes <= self._max_bytes:
+                    self._data[path] = arr
+                    self._used += arr.nbytes
         return arr
 
 
@@ -114,6 +131,7 @@ class TrainLoader:
         num_shards: int = 1,
         shard_index: int = 0,
         cache_bytes: int = 32 << 30,
+        shuffle_window: int = 0,
     ) -> None:
         if not paths:
             raise ValueError("TrainLoader needs at least one image")
@@ -124,6 +142,14 @@ class TrainLoader:
         self.num_shards = num_shards
         self.shard_index = shard_index
         self.workers = max(1, workers)
+        # Out-of-core option: instead of one global permutation, shuffle
+        # WINDOWS of `shuffle_window` images (windows in random order,
+        # samples shuffled within a window, different grouping every
+        # epoch).  Access then has locality, so an LRU decode cache that
+        # holds >= one window decodes each image ONCE per epoch no
+        # matter how far the dataset exceeds the cache budget (Grain's
+        # window-shuffle design; 0 = global shuffle).
+        self.shuffle_window = int(shuffle_window)
         self._cache = _ImageCache(cache_bytes)
         self._pool = ThreadPoolExecutor(max_workers=self.workers)
 
@@ -153,12 +179,29 @@ class TrainLoader:
         flips = np.array([r2 & 1, (r2 >> 1) & 1], dtype=bool)
         return crop, flips
 
+    def _window_reorder(self, shard: np.ndarray, rng) -> np.ndarray:
+        """Regroup a shard's sample sequence into windows of
+        ``shuffle_window`` images visited in random order (samples
+        shuffled within each window) — same multiset of samples, but
+        with access locality, so an LRU decode cache holding >= one
+        window decodes each image once per epoch however far the
+        dataset exceeds the cache budget (Grain's window-shuffle
+        design)."""
+        w = self.shuffle_window
+        if w <= 0 or w >= len(shard):
+            return shard
+        windows = [shard[i:i + w] for i in range(0, len(shard), w)]
+        order = []
+        for wi in rng.permutation(len(windows)):
+            win = windows[int(wi)]
+            order.append(win[rng.permutation(len(win))])
+        return np.concatenate(order)
+
     def epoch(self, epoch_idx: int) -> Iterator[tuple[np.ndarray, np.ndarray]]:
         """Iterate one epoch's batches for this shard."""
         n = len(self.paths)
-        order = np.random.default_rng(
-            (self.seed, epoch_idx)
-        ).permutation(n)
+        rng = np.random.default_rng((self.seed, epoch_idx))
+        order = rng.permutation(n)
         # Pad to a multiple of num_shards by wrapping, then interleave.
         total = -(-n // self.num_shards) * self.num_shards
         if total > n:
@@ -169,6 +212,9 @@ class TrainLoader:
             reps = -(-self.samples_per_epoch // len(shard))
             shard = np.tile(shard, reps)
         shard = shard[: self.samples_per_epoch]
+        # Windowing applies AFTER host sharding so each host's access
+        # stream keeps its own locality.
+        shard = self._window_reorder(shard, rng)
 
         bs = self.batch_size
         for b in range(self.batches_per_epoch):
@@ -258,6 +304,8 @@ def initialize_datasets(
     num_shards: int = 1,
     shard_index: int = 0,
     seed: int = 0,
+    shuffle_window: int = 0,
+    cache_bytes: int | None = None,
 ) -> tuple[TrainLoader, EvalLoader, int, int]:
     """Discover, split 90/10, and build loaders.
 
@@ -270,10 +318,12 @@ def initialize_datasets(
     del upscale_factor  # synthesis happens on device; scale passed there
     images = discover_images(train_directory)
     train_paths, test_paths = split_dataset(images, 0.1, seed)
+    extra = {} if cache_bytes is None else {"cache_bytes": cache_bytes}
     train_loader = TrainLoader(
         train_paths, batch_size, crop_size,
         dataset_multiplier=dataset_multiplier, workers=workers,
         seed=seed, num_shards=num_shards, shard_index=shard_index,
+        shuffle_window=shuffle_window, **extra,
     )
     eval_loader = EvalLoader(
         test_paths, batch_size, crop_size,
