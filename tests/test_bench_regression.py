@@ -20,11 +20,15 @@ def test_parse_metrics_picks_json_lines():
 
 
 def test_gate_pass_and_fail(tmp_path):
+    import json
+
+    with open(f"{REPO}/tools/bench_expectations.json") as f:
+        floors = json.load(f)
     out = tmp_path / "bench.txt"
-    out.write_text(
-        '{"metric": "srgan_train_crops_per_sec_per_chip", "value": 9000}\n'
-        '{"metric": "esrgan_gan_step_crops_per_sec_per_chip", "value": 400}\n'
-    )
+    out.write_text("".join(
+        json.dumps({"metric": name, "value": spec["min"] * 1.2}) + "\n"
+        for name, spec in floors.items()
+    ))
     r = subprocess.run(
         [sys.executable, "tools/bench_regression.py", "--check", str(out)],
         capture_output=True, text=True, cwd=REPO,

@@ -157,6 +157,43 @@ def test_esrgan_full_recipe(image_dir, workdir):
     assert trainer2._restore(ckpt, "gan") == 1
 
 
+@pytest.mark.slow
+def test_fast_compile_checkpoint_interop(image_dir, workdir):
+    """--fast-compile (nn.scan tower) trains, saves checkpoints in the
+    canonical UNROLLED layout, and its checkpoints restore into normal
+    trainers and vice versa (models/scan_compat.py); incompatible
+    optimizer extras degrade to weights-only with a log, not a crash."""
+    import jax
+
+    args = _args(model="srgan", fast_compile=True, pretrain_epochs=1)
+    tr = _make_trainer(image_dir, args)
+    assert "blocks_scan" in jax.device_get(tr.state.gen_params)
+    tr._pretrain()
+    ckpt = load_checkpoint("srgan-psnr-latest.ckpt")
+    params = ckpt["state"]["params"]
+    assert "blocks_scan" not in params
+    assert any(str(k).startswith("block") for k in params)
+
+    # normal trainer consumes the fast-compile checkpoint
+    tr2 = _make_trainer(image_dir, _args(model="srgan"))
+    assert tr2._restore(ckpt, "psnr") == 1
+    got = jax.device_get(tr2.state.gen_params)["block0"]
+    want = params["block0"]
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(got)[0]),
+        np.asarray(jax.tree.leaves(want)[0]), atol=1e-6,
+    )
+
+    # fast-compile trainer consumes the (canonical) checkpoint too
+    tr3 = _make_trainer(image_dir, args)
+    assert tr3._restore(ckpt, "psnr") == 1
+    stacked = jax.device_get(tr3.state.gen_params)["blocks_scan"]
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(stacked)[0][0]),
+        np.asarray(jax.tree.leaves(want)[0]), atol=1e-6,
+    )
+
+
 def _eval_psnr(trainer) -> float:
     """Masked mean eval PSNR over the trainer's test loader (the
     trainer._test metric without the checkpoint/logging side effects)."""

@@ -85,6 +85,14 @@ def parse_args(argv: list[str] | None = None) -> Namespace:
              "CUDA AMP) and train in float32.",
     )
     train.add_argument(
+        "--fast-compile", action="store_true",
+        help="Iteration/debug mode: run the generator tower as one "
+             "nn.scan'd block. Cold XLA compiles drop from minutes to "
+             "tens of seconds at a measured per-step runtime cost "
+             "(docs/benchmarks.md); checkpoints stay interchangeable "
+             "with normal runs (optimizer state excepted).",
+    )
+    train.add_argument(
         "--epochs", type=int, default=EPOCHS,
         help=f"The number of epochs to run training for. "
              f"Default: {EPOCHS}.",

@@ -168,6 +168,26 @@ class RRDB(nn.Module):
         return out * jnp.asarray(self.scale_ratio, out.dtype) + x
 
 
+class _ScanRRDBBody(nn.Module):
+    """nn.scan body: one RRDB as a (carry, _) -> (carry, None) step.
+
+    The inner child is named ``block`` so the stacked param tree is
+    ``blocks_scan/block/...`` — convertible to/from the unrolled
+    ``block{i}/...`` layout with ``models.scan_compat``."""
+
+    dtype: Any = None
+    fused: bool | None = None
+    pallas_interpret: bool = False
+    mesh: Any = None
+
+    @nn.compact
+    def __call__(self, carry, _):
+        out = RRDB(64, 32, 0.2, dtype=self.dtype, fused=self.fused,
+                   pallas_interpret=self.pallas_interpret,
+                   mesh=self.mesh, name="block")(carry)
+        return out, None
+
+
 class ESRGANGenerator(nn.Module):
     """4x ESRGAN RRDB generator; NHWC in/out, [0, 1] pixel space.
 
@@ -190,6 +210,15 @@ class ESRGANGenerator(nn.Module):
     fused_rdb: bool | None = None
     pallas_interpret: bool = False
     mesh: Any = None
+    # Fast-compile mode: the RRDB tower runs as ONE nn.scan'd block with
+    # params stacked on a leading axis (XLA traces/compiles a single
+    # block body instead of 345 straightline convs).  Runtime is slower
+    # (measured: scan towers leave no room for per-iteration overhead
+    # at these conv sizes; see docs/benchmarks.md) — this is the
+    # iteration/debug knob (--fast-compile), not the production path.
+    # Param layout: 'blocks_scan' with stacked leaves; convert to/from
+    # the unrolled block{i} layout with models.scan_compat.
+    scan_blocks: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
@@ -200,12 +229,24 @@ class ESRGANGenerator(nn.Module):
         conv1 = Conv(64, (3, 3), dtype=self.dtype, name="conv1")(x)
 
         out = conv1
-        for i in range(self.num_rrdb_blocks):
-            out = RRDB(64, 32, 0.2, dtype=self.dtype,
-                       fused=self.fused_rdb,
-                       pallas_interpret=self.pallas_interpret,
-                       mesh=self.mesh,
-                       name=f"block{i}")(out)
+        if self.scan_blocks:
+            scan = nn.scan(
+                _ScanRRDBBody,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                length=self.num_rrdb_blocks,
+                metadata_params={nn.meta.PARTITION_NAME: None},
+            )(dtype=self.dtype, fused=self.fused_rdb,
+              pallas_interpret=self.pallas_interpret, mesh=self.mesh,
+              name="blocks_scan")
+            out, _ = scan(out, None)
+        else:
+            for i in range(self.num_rrdb_blocks):
+                out = RRDB(64, 32, 0.2, dtype=self.dtype,
+                           fused=self.fused_rdb,
+                           pallas_interpret=self.pallas_interpret,
+                           mesh=self.mesh,
+                           name=f"block{i}")(out)
 
         out = Conv(64, (3, 3), dtype=self.dtype, name="conv2")(out)
         out = conv1 + out

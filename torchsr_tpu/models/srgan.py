@@ -74,14 +74,31 @@ class SubpixelConv(nn.Module):
         return PReLU(name="prelu")(out)
 
 
+class _ScanResidualBody(nn.Module):
+    """nn.scan body: one ResidualBlock as a (carry, _) step (see
+    ``models.scan_compat`` for the param-layout conversion)."""
+
+    dtype: Any = None
+    train: bool = True
+
+    @nn.compact
+    def __call__(self, carry, _):
+        out = ResidualBlock(64, dtype=self.dtype, name="block")(
+            carry, train=self.train
+        )
+        return out, None
+
+
 class SRGANGenerator(nn.Module):
     """4x SRGAN generator; input/output NHWC in [0, 1] pixel space.
 
-    The residual tower is unrolled: measured head-to-head on v5e, an
-    nn.scan tower runs 1.6x slower per step (54 vs 87 TFLOP/s) because
-    the small 64-channel convs leave no room for scan's per-iteration
-    overhead; the longer straightline compile is amortized by the
-    persistent compilation cache (utils/compile_cache.py).
+    The residual tower is unrolled by default: measured head-to-head on
+    v5e, an nn.scan tower runs 1.6x slower per step (54 vs 87 TFLOP/s)
+    because the small 64-channel convs leave no room for scan's
+    per-iteration overhead; the longer straightline compile is
+    amortized by the persistent compilation cache
+    (utils/compile_cache.py).  ``scan_blocks=True`` (--fast-compile)
+    trades that runtime for a much shorter cold compile.
     """
 
     scale_factor: int = 4
@@ -92,6 +109,7 @@ class SRGANGenerator(nn.Module):
     # TPU (3 output channels strand 125/128 MXU lanes at 4x resolution
     # otherwise; measured ~75% of inference time).
     fused_head: bool = True
+    scan_blocks: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
@@ -101,9 +119,19 @@ class SRGANGenerator(nn.Module):
         conv1 = PReLU(name="prelu1")(conv1)
 
         out = conv1
-        for i in range(self.num_residual):
-            out = ResidualBlock(64, dtype=self.dtype,
-                                name=f"block{i}")(out, train=train)
+        if self.scan_blocks:
+            scan = nn.scan(
+                _ScanResidualBody,
+                variable_axes={"params": 0, "batch_stats": 0},
+                split_rngs={"params": True},
+                length=self.num_residual,
+                metadata_params={nn.meta.PARTITION_NAME: None},
+            )(dtype=self.dtype, train=train, name="blocks_scan")
+            out, _ = scan(out, None)
+        else:
+            for i in range(self.num_residual):
+                out = ResidualBlock(64, dtype=self.dtype,
+                                    name=f"block{i}")(out, train=train)
 
         out = Conv(64, (3, 3), use_bias=False, dtype=self.dtype,
                    name="conv2")(out)

@@ -393,9 +393,19 @@ class GANTrainer:
             os.makedirs("output", exist_ok=True)
 
     def _generator_state(self) -> dict:
+        # Checkpoints are canonically UNROLLED (block{i} subtrees):
+        # fast-compile (nn.scan) runs unstack their params on save so
+        # their checkpoints stay interchangeable with production runs
+        # and the reference .pth converters (models/scan_compat.py).
+        from torchsr_tpu.models.scan_compat import unroll_blocks
+
         return {
-            "params": jax.device_get(self.state.gen_params),
-            "batch_stats": jax.device_get(self.state.gen_stats),
+            "params": unroll_blocks(
+                jax.device_get(self.state.gen_params)
+            ),
+            "batch_stats": unroll_blocks(
+                jax.device_get(self.state.gen_stats)
+            ),
         }
 
     def _full_state(self) -> dict:
@@ -420,13 +430,22 @@ class GANTrainer:
         phase never writes its ``-best`` checkpoint (each phase tracks
         its own record, reference srgan/trainer.py:478).
         """
+        from torchsr_tpu.models.scan_compat import (
+            is_scan_layout,
+            stack_blocks,
+        )
+
         state_dict = checkpoint["state"]
         new_params = state_dict.get("params", state_dict)
         new_stats = state_dict.get("batch_stats", {})
+        host_gen = jax.device_get(self.state.gen_params)
+        if is_scan_layout(host_gen) and not is_scan_layout(new_params):
+            # live model is the fast-compile (nn.scan) layout; stack the
+            # canonical unrolled checkpoint into it
+            new_params = stack_blocks(new_params)
+            new_stats = stack_blocks(new_stats) if new_stats else new_stats
         updates = {
-            "gen_params": _match_tree(
-                jax.device_get(self.state.gen_params), new_params
-            ),
+            "gen_params": _match_tree(host_gen, new_params),
         }
         if new_stats:
             updates["gen_stats"] = _match_tree(
@@ -446,10 +465,22 @@ class GANTrainer:
                 "gen_opt_state", "disc_opt_state", "step",
             ):
                 if key in extra:
-                    updates[key] = _match_tree(
-                        jax.device_get(getattr(self.state, key)),
-                        extra[key],
-                    )
+                    try:
+                        updates[key] = _match_tree(
+                            jax.device_get(getattr(self.state, key)),
+                            extra[key],
+                        )
+                    except Exception:
+                        # Optimizer moments nest the generator's param
+                        # layout; a checkpoint written by the other
+                        # --fast-compile mode cannot restore them.
+                        # Degrade to a weights-only resume for this key
+                        # (the reference loses ALL extras on every
+                        # resume, srgan/trainer.py:254-258).
+                        self.logger.log(
+                            f"resume: skipping {key} "
+                            f"(incompatible layout)"
+                        )
             if "best_psnr" in extra:
                 self.best_psnr = float(extra["best_psnr"])
         host_state = jax.device_get(self.state).replace(**updates)
@@ -768,8 +799,13 @@ class SRGANTrainer(GANTrainer):
     def _build_models(self, dtype) -> None:
         blocks = getattr(self.args, "num_residual", None) or 16
         vgg_convs = getattr(self.args, "vgg_convs", None)
-        self.gen_train = SRGANGenerator(num_residual=blocks, dtype=dtype)
-        self.gen_eval = SRGANGenerator(num_residual=blocks)
+        scan = bool(getattr(self.args, "fast_compile", False))
+        self.gen_train = SRGANGenerator(
+            num_residual=blocks, dtype=dtype, scan_blocks=scan
+        )
+        self.gen_eval = SRGANGenerator(
+            num_residual=blocks, scan_blocks=scan
+        )
         self.disc_train = SRGANDiscriminator(
             image_size=self.crop_size, dtype=dtype
         )
@@ -809,13 +845,14 @@ class ESRGANTrainer(GANTrainer):
         mesh = self.mesh if self.mesh.devices.size > 1 else None
         fused = getattr(self.args, "fused_rdb", None)
         interp = bool(getattr(self.args, "pallas_interpret", False))
+        scan = bool(getattr(self.args, "fast_compile", False))
         self.gen_train = ESRGANGenerator(
             num_rrdb_blocks=blocks, dtype=dtype, mesh=mesh,
-            fused_rdb=fused, pallas_interpret=interp,
+            fused_rdb=fused, pallas_interpret=interp, scan_blocks=scan,
         )
         self.gen_eval = ESRGANGenerator(
             num_rrdb_blocks=blocks, mesh=mesh,
-            fused_rdb=fused, pallas_interpret=interp,
+            fused_rdb=fused, pallas_interpret=interp, scan_blocks=scan,
         )
         self.disc_train = ESRGANDiscriminator(
             image_size=self.crop_size, dtype=dtype
