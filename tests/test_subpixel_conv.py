@@ -80,3 +80,41 @@ def test_esrgan_fused_tail_equals_direct():
     np.testing.assert_allclose(
         np.asarray(y1), np.asarray(y2), atol=5e-5
     )
+
+
+def test_partially_folded_head_equals_subpixel_space():
+    """conv_head_partially_folded(pre-d2s tensor) == conv_subpixel_space
+    (post-d2s tensor): the upsample stage's depth_to_space folds into
+    the head kernel exactly — values AND gradients."""
+    from torchsr_tpu.ops.pixel_shuffle import depth_to_space
+    from torchsr_tpu.ops.subpixel_conv import (
+        conv_head_partially_folded,
+        conv_subpixel_space,
+    )
+
+    rng = np.random.default_rng(7)
+    y = jnp.asarray(rng.normal(0, 0.5, (2, 6, 8, 256)), jnp.float32)
+    b = jnp.asarray(rng.normal(0, 0.2, (3,)), jnp.float32)
+    for k in (9, 3):
+        w = jnp.asarray(rng.normal(0, 0.1, (k, k, 64, 3)), jnp.float32)
+        ref = conv_subpixel_space(depth_to_space(y, 2), w, b, 4)
+        got = conv_head_partially_folded(y, w, b, 4, 2)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-5
+        )
+
+    w = jnp.asarray(rng.normal(0, 0.1, (9, 9, 64, 3)), jnp.float32)
+    g_ref = jax.grad(
+        lambda w, y: jnp.sum(
+            conv_subpixel_space(depth_to_space(y, 2), w, b, 4) ** 2
+        ),
+        argnums=(0, 1),
+    )(w, y)
+    g_got = jax.grad(
+        lambda w, y: jnp.sum(conv_head_partially_folded(y, w, b, 4, 2) ** 2),
+        argnums=(0, 1),
+    )(w, y)
+    for r, g in zip(g_ref, g_got):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(r), atol=2e-4, rtol=1e-4
+        )

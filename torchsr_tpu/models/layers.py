@@ -133,16 +133,31 @@ class SubpixelSpaceConv(nn.Module):
     kernel_size: Sequence[int]
     scale: int
     dtype: Dtype | None = None
+    # in_fold > 1: the input is the PRE-depth_to_space(in_fold) tensor
+    # of a subpixel upsample stage; the shuffle is folded into this
+    # conv's kernel (ops/subpixel_conv.py:conv_head_partially_folded)
+    # so the full-resolution relayout is never materialized.  Identical
+    # math and identical param tree.
+    in_fold: int = 1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        from torchsr_tpu.ops.subpixel_conv import conv_subpixel_space
+        from torchsr_tpu.ops.subpixel_conv import (
+            conv_head_partially_folded,
+            conv_subpixel_space,
+        )
 
         dtype = self.dtype or jnp.float32
+        in_features = x.shape[-1] // (self.in_fold * self.in_fold)
         kernel, bias = _ConvParams(
-            self.features, tuple(self.kernel_size), x.shape[-1],
+            self.features, tuple(self.kernel_size), in_features,
             torch_kernel_init, name="conv",
         )()
+        if self.in_fold > 1:
+            return conv_head_partially_folded(
+                x.astype(dtype), kernel.astype(dtype),
+                bias.astype(dtype), self.scale, self.in_fold,
+            )
         return conv_subpixel_space(
             x.astype(dtype), kernel.astype(dtype), bias.astype(dtype),
             self.scale,

@@ -61,16 +61,26 @@ class ResidualBlock(nn.Module):
 
 
 class SubpixelConv(nn.Module):
-    """conv3(C->4C) -> depth_to_space(2) -> PReLU (one x2 upsample stage)."""
+    """conv3(C->4C) -> depth_to_space(2) -> PReLU (one x2 upsample stage).
+
+    ``shuffle=False`` returns the PRE-depth_to_space tensor
+    (H, W, 4C) with PReLU applied pre-shuffle — identical values under
+    a channel/space permutation (the PReLU slope is a single shared
+    scalar, so it commutes with the shuffle).  Used by the generator's
+    fused head path, which folds the final depth_to_space into the
+    head conv (ops/subpixel_conv.py:conv_head_partially_folded).
+    """
 
     channels: int = 64
     dtype: Any = None
+    shuffle: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         out = Conv(self.channels * 4, (3, 3), dtype=self.dtype,
                    name="conv")(x)
-        out = depth_to_space(out, 2)
+        if self.shuffle:
+            out = depth_to_space(out, 2)
         return PReLU(name="prelu")(out)
 
 
@@ -139,13 +149,27 @@ class SRGANGenerator(nn.Module):
                         dtype=self.dtype, name="bn2")(out)
         out = conv1 + out
 
-        for i in range(int(math.log2(self.scale_factor))):
+        n_up = int(math.log2(self.scale_factor))
+        # Fused head path: the LAST upsample stage skips its
+        # depth_to_space (PReLU commutes — scalar slope) and the head
+        # conv consumes the pre-shuffle tensor directly with a
+        # partially-folded kernel: mathematically identical, and the
+        # full-resolution d2s + the head's space_to_depth relayout
+        # passes are never materialized.
+        fold_last = self.fused_head and self.scale_factor == 4
+        for i in range(n_up):
+            last = fold_last and i == n_up - 1
             out = SubpixelConv(64, dtype=self.dtype,
+                               shuffle=not last,
                                name=f"upsample{i}")(out)
 
-        if self.fused_head:
+        if fold_last:
             out = SubpixelSpaceConv(3, (9, 9), self.scale_factor,
-                                dtype=self.dtype, name="conv3")(out)
+                                    dtype=self.dtype, in_fold=2,
+                                    name="conv3")(out)
+        elif self.fused_head:
+            out = SubpixelSpaceConv(3, (9, 9), self.scale_factor,
+                                    dtype=self.dtype, name="conv3")(out)
         else:
             out = Conv(3, (9, 9), dtype=self.dtype, name="conv3")(out)
         return out.astype(jnp.float32)
