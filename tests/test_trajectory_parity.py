@@ -16,8 +16,6 @@ Also pins the StepLR schedule sequence (reference srgan/trainer.py:
 value-for-value against torch.optim.lr_scheduler.StepLR.
 """
 
-from argparse import Namespace  # noqa: F401  (re-exported helpers use it)
-
 import jax
 import numpy as np
 import pytest

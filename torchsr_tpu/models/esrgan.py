@@ -83,8 +83,11 @@ class ResidualDenseBlock(nn.Module):
 
     ``fused=True`` (auto on TPU) computes the whole block in one Pallas
     kernel (ops/pallas/rdb.py: VMEM-resident dense concat, lane-packed
-    GEMMs, custom-VJP backward) — measured 1.7x faster forward and
-    ~6.9x faster forward+backward than the XLA conv lowering on v5e.
+    GEMMs, custom-VJP backward) — measured 1.62x faster forward than
+    the XLA conv lowering on v5e (tiled inference 1.53x end to end);
+    fwd+bwd is at parity, so training is unharmed (round-3 corrected
+    protocol, docs/benchmarks.md — the round-2 "6.9x fwd+bwd" was a
+    first-timing-loop measurement artifact on the XLA baseline).
     Identical math and identical param tree; ``None`` auto-selects.
     """
 
