@@ -212,14 +212,17 @@ def _eval_psnr(trainer) -> float:
 
 
 @pytest.mark.slow
-def test_pretrain_learning_raises_psnr(structured_image_dir, workdir):
+@pytest.mark.parametrize("model,epochs", [("srgan", 30), ("esrgan", 25)])
+def test_pretrain_learning_raises_psnr(model, epochs,
+                                       structured_image_dir, workdir):
     """The production pretrain path OPTIMIZES: over a few epochs on
     structured (learnable) images, eval PSNR must rise by a clear
-    margin over the random-init generator.  This CI-izes the round-2
+    margin over the random-init generator (measured: SRGAN ~+3.5 dB,
+    ESRGAN ~+6.8 dB at these epoch counts).  This CI-izes the round-2
     manual real-TPU learning validation (+11.6 dB over 25 epochs,
     docs/benchmarks.md) — loss-finiteness and one-step param-movement
     checks alone cannot catch sign/scale bugs that still 'train'."""
-    args = _args(model="srgan", pretrain_epochs=30, seed=3)
+    args = _args(model=model, pretrain_epochs=epochs, seed=3)
     trainer = _make_trainer(structured_image_dir, args)
     initial = _eval_psnr(trainer)
     trainer._pretrain()
