@@ -172,7 +172,9 @@ class GANTrainer:
             self.opt,
         )
         vgg_rng = jax.random.PRNGKey(self.seed + 7)
-        vgg_vars = self.vgg.init(
+        # jitted for the same reason as init_gan_state: eager flax init
+        # pays per-op dispatch through the tunneled runtime.
+        vgg_vars = jax.jit(self.vgg.init)(
             vgg_rng, jnp.zeros((1, self.crop_size, self.crop_size, 3))
         )
         vgg_params = vgg_vars["params"]
