@@ -198,3 +198,65 @@ def test_fused_module_param_tree_and_forward_match():
     np.testing.assert_allclose(
         np.asarray(out_f), np.asarray(out_p), rtol=1e-5, atol=1e-5
     )
+
+
+def test_ext_kernel_matches_slot_kernel_and_grads():
+    """The extended-row-buffer forward variant (`_rdb_fwd_kernel_ext`,
+    selected for single-image-per-block shapes with width % 16 == 0)
+    matches the 3-slot kernel and jax.grad exactly.  Width 16 rows the
+    GEMM operand offsets onto the sublane tile; nonzero biases make any
+    pad-row leakage visible."""
+    from torchsr_tpu.ops.pallas import rdb as rdb_mod
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(0, 0.5, (2, 6, 16, 64)), jnp.float32)
+    assert rdb_mod._ext_eligible(6 * 16, 16)
+    rdb = ResidualDenseBlock()
+    params = rdb.init(jax.random.PRNGKey(7), x)["params"]
+    for i in range(1, 6):
+        params[f"conv{i}"]["conv"]["bias"] = jnp.asarray(
+            rng.normal(0, 0.1, params[f"conv{i}"]["conv"]["bias"].shape),
+            jnp.float32,
+        )
+    ks = tuple(params[f"conv{i}"]["conv"]["kernel"] for i in range(1, 6))
+    bs = tuple(params[f"conv{i}"]["conv"]["bias"] for i in range(1, 6))
+    cot = jnp.asarray(rng.normal(0, 1, x.shape), jnp.float32)
+
+    def fused_loss(x, ks, bs):
+        return jnp.sum(fused_rdb(x, ks, bs, interpret=True) * cot)
+
+    out_ext = fused_rdb(x, ks, bs, interpret=True)
+    gx_e, gk_e, gb_e = jax.grad(fused_loss, argnums=(0, 1, 2))(x, ks, bs)
+
+    prev = rdb_mod.EXT_KERNEL
+    rdb_mod.EXT_KERNEL = False
+    # distinct static arg so the jit cache cannot serve the ext trace
+    jax.clear_caches()
+    try:
+        out_slot = fused_rdb(x, ks, bs, interpret=True)
+        gx_s, gk_s, gb_s = jax.grad(
+            fused_loss, argnums=(0, 1, 2)
+        )(x, ks, bs)
+    finally:
+        rdb_mod.EXT_KERNEL = prev
+        jax.clear_caches()
+
+    np.testing.assert_allclose(
+        np.asarray(out_ext), np.asarray(out_slot), rtol=1e-5, atol=1e-5
+    )
+    ref = rdb.apply({"params": params}, x)
+    np.testing.assert_allclose(
+        np.asarray(out_ext), np.asarray(ref), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(gx_e), np.asarray(gx_s), rtol=1e-5, atol=1e-5
+    )
+    for i in range(5):
+        np.testing.assert_allclose(
+            np.asarray(gk_e[i]), np.asarray(gk_s[i]),
+            rtol=1e-5, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(gb_e[i]), np.asarray(gb_s[i]),
+            rtol=1e-5, atol=1e-5,
+        )

@@ -43,6 +43,7 @@ wired through ``jax.custom_vjp`` — see ``fused_rdb``.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -197,6 +198,94 @@ def _rdb_fwd_kernel(x_ref, w1, w2, w3, w4, w5, b1, b2, b3, b4, b5,
         feat_ref[:] = x3_ref[:, _SLOT:_SLOT + FEAT]
 
 
+def _rdb_fwd_kernel_ext(x_ref, w1, w2, w3, w4, w5, b1, b2, b3, b4, b5,
+                        *refs, hw, wimg, scale, save_feat):
+    """Single-image extended-row variant of :func:`_rdb_fwd_kernel`.
+
+    Instead of THREE dy-shifted slot copies (each conv output written
+    three times, two of them via shift-constructed temporaries), the
+    dense features live ONCE in a row-extended buffer of shape
+    (hw + 2*W, 256): buffer row ``r`` holds the features of pixel
+    ``m = r - W``, and the three dy GEMM operands are *static row-offset
+    slices* of the same storage —
+
+        up     = buf[0    : hw]        (features of m - W)
+        center = buf[W    : W + hw]    (features of m)
+        down   = buf[2W   : 2W + hw]   (features of m + W)
+
+    The W head and tail rows are zeroed once before the conv loop (the
+    image's outer dy boundary), so each conv appends its 32 channels
+    with ONE store — ~3x less VPU copy traffic than the slot builds
+    (A/B: tools/bench_rdb.py).  Requires one image per grid step (no
+    interior image boundaries inside the buffer) and a row offset W
+    that is a multiple of the 8-row sublane tile; ``_rdb_fwd`` gates on
+    both and falls back to the 3-slot kernel otherwise.
+    """
+    if save_feat:
+        out_ref, feat_ref, buf_ref = refs
+    else:
+        (out_ref, buf_ref), feat_ref = refs, None
+    w_refs = (w1, w2, w3, w4, w5)
+    b_refs = (b1, b2, b3, b4, b5)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (hw, 1), 0) % wimg
+    first_col = col == 0
+    last_col = col == wimg - 1
+
+    # Outer dy boundary: zero the W-row head and tail once.
+    zero = jnp.zeros((wimg, FEAT), buf_ref.dtype)
+    buf_ref[:wimg, :FEAT] = zero
+    buf_ref[wimg + hw:, :FEAT] = zero
+
+    buf_ref[wimg:wimg + hw, :CHANNELS] = x_ref[:]
+
+    out = None
+    for i in range(5):
+        cin, cout = _CIN[i], _COUT[i]
+        w = w_refs[i]
+        y = (
+            jnp.dot(buf_ref[:hw, :cin], w[:cin],
+                    preferred_element_type=jnp.float32)
+            + jnp.dot(buf_ref[wimg:wimg + hw, :cin], w[cin:2 * cin],
+                      preferred_element_type=jnp.float32)
+            + jnp.dot(buf_ref[2 * wimg:2 * wimg + hw, :cin],
+                      w[2 * cin:3 * cin],
+                      preferred_element_type=jnp.float32)
+        )
+        out = (
+            _shift(y[:, :cout], 1, first_col)
+            + y[:, cout:2 * cout]
+            + _shift(y[:, 2 * cout:], -1, last_col)
+            + b_refs[i][:]
+        )
+        if i < 4:
+            off = CHANNELS + GROWTH * i
+            buf_ref[wimg:wimg + hw, off:off + GROWTH] = (
+                _leaky(out).astype(buf_ref.dtype)
+            )
+
+    residual = buf_ref[wimg:wimg + hw, :CHANNELS].astype(jnp.float32)
+    out_ref[:] = (out * scale + residual).astype(out_ref.dtype)
+    if save_feat:
+        feat_ref[:] = buf_ref[wimg:wimg + hw, :FEAT]
+
+
+# Kernel-variant switch for the forward: the extended-row buffer
+# (_rdb_fwd_kernel_ext) when the shape qualifies, else the 3-slot
+# layout.  Env-driven (read once at import) because `_rdb_fwd`'s jit
+# cache does not key on it: A/B runs use separate processes
+# (TORCHSR_RDB_EXT=0 forces the 3-slot kernel everywhere).
+EXT_KERNEL = os.environ.get("TORCHSR_RDB_EXT", "1") != "0"
+
+
+def _ext_eligible(hw: int, width: int) -> bool:
+    """The extended-row kernel needs one image per grid step (buffer has
+    a single pad region) with the image small enough for VMEM, and GEMM
+    operand row offsets (width, 2*width) on the 8/16-row sublane tile
+    for both f32 and bf16."""
+    return EXT_KERNEL and hw <= _MAX_IMAGE_ROWS and width % 16 == 0
+
+
 def _compiler_params(mblk: int, itemsize: int, limit_bytes_above: int):
     """Raise the scoped-VMEM limit for blocks larger than what the
     16 MB default fits.  The trigger is in BYTES of block rows so f32
@@ -222,13 +311,14 @@ def _rdb_fwd(x2d, weights, biases, *, height, width, scale, interpret,
              save_feat=False):
     m, c = x2d.shape
     hw = height * width
-    mblk = _block_rows(m // hw, hw)
+    ext = _ext_eligible(hw, width)
+    mblk = hw if ext else _block_rows(m // hw, hw)
     grid = (m // mblk,)
     dt = x2d.dtype
 
     kernel = functools.partial(
-        _rdb_fwd_kernel, hw=hw, wimg=width, scale=scale,
-        save_feat=save_feat,
+        _rdb_fwd_kernel_ext if ext else _rdb_fwd_kernel,
+        hw=hw, wimg=width, scale=scale, save_feat=save_feat,
     )
     out_shape = jax.ShapeDtypeStruct((m, c), dt)
     out_specs = pl.BlockSpec((mblk, c), lambda i: (i, 0),
@@ -252,7 +342,8 @@ def _rdb_fwd(x2d, weights, biases, *, height, width, scale, interpret,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((mblk, 3 * _SLOT), dt),
+            pltpu.VMEM((mblk + 2 * width, _SLOT), dt) if ext
+            else pltpu.VMEM((mblk, 3 * _SLOT), dt),
         ],
         compiler_params=_compiler_params(mblk, x2d.dtype.itemsize,
                                          2 * _MAX_BLOCK_ROWS),
@@ -359,6 +450,89 @@ def _rdb_bwd_kernel(g_ref, feat_ref, t1, t2, t3, t4, t5,
             ref[:] = ref[:] + val
 
 
+def _rdb_bwd_kernel_ext(g_ref, feat_ref, t1, t2, t3, t4, t5,
+                        dx_ref, dw1, dw2, dw3, dw4, dw5,
+                        db1, db2, db3, db4, db5,
+                        bbuf_ref, df_ref, *, hw, wimg, scale):
+    """Extended-row variant of :func:`_rdb_bwd_kernel` (the backward
+    analogue of ``_rdb_fwd_kernel_ext``; same eligibility gate).
+
+    The saved dense features are written ONCE into a (hw + 2W, 256)
+    row-extended buffer (row r = pixel r - W, W-row zero pads at both
+    ends) instead of three dy-shifted slot copies, and the dW GEMM's
+    three slot operands become static row-offset slices.  The dense-
+    gradient accumulator gets the same extension: the three parts of
+    ``dx3 = dy @ W^T`` accumulate at row offsets 0 / W / 2W with NO
+    shifts or boundary masks — out-of-image contributions land in the
+    pad rows and are simply never read back.  Removes two full-width
+    concat-copies at slot build plus two shift+mask passes per conv."""
+    pid = pl.program_id(0)
+    t_refs = (t1, t2, t3, t4, t5)
+    dw_refs = (dw1, dw2, dw3, dw4, dw5)
+    db_refs = (db1, db2, db3, db4, db5)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (hw, 1), 0) % wimg
+    first_col = col == 0
+    last_col = col == wimg - 1
+
+    feat = feat_ref[:]
+    zero = jnp.zeros((wimg, FEAT), feat.dtype)
+    bbuf_ref[:wimg, :FEAT] = zero
+    bbuf_ref[wimg + hw:, :FEAT] = zero
+    bbuf_ref[wimg:wimg + hw, :FEAT] = feat
+
+    df_ref[:] = jnp.zeros(df_ref.shape, df_ref.dtype)
+
+    g = g_ref[:].astype(jnp.float32)
+    da = g * scale
+    dws, dbs = [None] * 5, [None] * 5
+    for i in reversed(range(5)):
+        cin, cout = _CIN[i], _COUT[i]
+        dbs[i] = jnp.sum(da, axis=0, keepdims=True)
+        dy = jnp.concatenate([
+            _shift(da, -1, last_col), da, _shift(da, 1, first_col),
+        ], axis=1).astype(bbuf_ref.dtype)
+        dw_parts = []
+        for s in range(3):
+            xs = bbuf_ref[s * wimg:s * wimg + hw, :cin]
+            dw_parts.append(jax.lax.dot_general(
+                xs, dy, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ))
+        dws[i] = jnp.concatenate(dw_parts, axis=0)  # (3cin, 3cout)
+        dx3 = jnp.dot(dy, t_refs[i][:], preferred_element_type=jnp.float32)
+        df_ref[:hw, :cin] = df_ref[:hw, :cin] + dx3[:, :cin]
+        df_ref[wimg:wimg + hw, :cin] = (
+            df_ref[wimg:wimg + hw, :cin] + dx3[:, cin:2 * cin]
+        )
+        df_ref[2 * wimg:2 * wimg + hw, :cin] = (
+            df_ref[2 * wimg:2 * wimg + hw, :cin] + dx3[:, 2 * cin:]
+        )
+        if i > 0:
+            lo = CHANNELS + GROWTH * (i - 1)
+            act = feat[:, lo:lo + GROWTH]
+            da = df_ref[wimg:wimg + hw, lo:lo + GROWTH] * (
+                0.2 + 0.8 * (act.astype(jnp.float32) > 0.0).astype(
+                    jnp.float32)
+            )
+
+    dx_ref[:] = (df_ref[wimg:wimg + hw, :CHANNELS] + g).astype(dx_ref.dtype)
+
+    @pl.when(pid == 0)
+    def _():
+        for ref, val in zip(dw_refs, dws):
+            ref[:] = val
+        for ref, val in zip(db_refs, dbs):
+            ref[:] = val
+
+    @pl.when(pid > 0)
+    def _():
+        for ref, val in zip(dw_refs, dws):
+            ref[:] = ref[:] + val
+        for ref, val in zip(db_refs, dbs):
+            ref[:] = ref[:] + val
+
+
 # Backward holds an extra f32 dense-gradient buffer and (rows, 576) f32
 # GEMM outputs; 2048-row blocks need the raised VMEM limit and measure
 # ~8% faster than 1024 (390 vs 424 us/RDB fwd+bwd).
@@ -371,12 +545,14 @@ _MAX_BLOCK_ROWS_BWD = 2048
 def _rdb_bwd(g2d, feat2d, weights_t, *, height, width, scale, interpret):
     m, c = g2d.shape
     hw = height * width
-    mblk = _block_rows(m // hw, hw, cap=_MAX_BLOCK_ROWS_BWD)
+    ext = _ext_eligible(hw, width)
+    mblk = hw if ext else _block_rows(m // hw, hw, cap=_MAX_BLOCK_ROWS_BWD)
     grid = (m // mblk,)
     dt = g2d.dtype
 
     kernel = functools.partial(
-        _rdb_bwd_kernel, hw=hw, wimg=width, scale=scale
+        _rdb_bwd_kernel_ext if ext else _rdb_bwd_kernel,
+        hw=hw, wimg=width, scale=scale,
     )
     const = lambda shape: pl.BlockSpec(  # noqa: E731
         shape, lambda i: tuple(0 for _ in shape),
@@ -408,8 +584,10 @@ def _rdb_bwd(g2d, feat2d, weights_t, *, height, width, scale, interpret):
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((mblk, 3 * _SLOT), dt),
-            pltpu.VMEM((mblk, FEAT), jnp.float32),
+            pltpu.VMEM((mblk + 2 * width, _SLOT), dt) if ext
+            else pltpu.VMEM((mblk, 3 * _SLOT), dt),
+            pltpu.VMEM((mblk + 2 * width, FEAT), jnp.float32) if ext
+            else pltpu.VMEM((mblk, FEAT), jnp.float32),
         ],
         # bf16 at the full 2048-row backward block already measures
         # 16.9 MB: raise the limit for anything past 1024 bf16-rows.
