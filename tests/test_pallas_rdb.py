@@ -201,15 +201,20 @@ def test_fused_module_param_tree_and_forward_match():
 
 
 def test_ext_kernel_matches_slot_kernel_and_grads():
-    """The extended-row-buffer forward variant (`_rdb_fwd_kernel_ext`,
-    selected for single-image-per-block shapes with width % 16 == 0)
-    matches the 3-slot kernel and jax.grad exactly.  Width 16 rows the
-    GEMM operand offsets onto the sublane tile; nonzero biases make any
+    """The extended-row-buffer variant (`_rdb_fwd_kernel_ext`; a
+    measured performance negative, default OFF, kept selectable via
+    TORCHSR_RDB_EXT=1 for future-toolchain re-evaluation) matches the
+    3-slot kernel and jax.grad exactly on an eligible shape
+    (single-image-per-block, width % 16 == 0).  Width 16 rows the GEMM
+    operand offsets onto the sublane tile; nonzero biases make any
     pad-row leakage visible."""
     from torchsr_tpu.ops.pallas import rdb as rdb_mod
 
     rng = np.random.default_rng(7)
     x = jnp.asarray(rng.normal(0, 0.5, (2, 6, 16, 64)), jnp.float32)
+    prev = rdb_mod.EXT_KERNEL
+    rdb_mod.EXT_KERNEL = True
+    jax.clear_caches()
     assert rdb_mod._ext_eligible(6 * 16, 16)
     rdb = ResidualDenseBlock()
     params = rdb.init(jax.random.PRNGKey(7), x)["params"]
@@ -225,14 +230,15 @@ def test_ext_kernel_matches_slot_kernel_and_grads():
     def fused_loss(x, ks, bs):
         return jnp.sum(fused_rdb(x, ks, bs, interpret=True) * cot)
 
-    out_ext = fused_rdb(x, ks, bs, interpret=True)
-    gx_e, gk_e, gb_e = jax.grad(fused_loss, argnums=(0, 1, 2))(x, ks, bs)
-
-    prev = rdb_mod.EXT_KERNEL
-    rdb_mod.EXT_KERNEL = False
-    # distinct static arg so the jit cache cannot serve the ext trace
-    jax.clear_caches()
     try:
+        out_ext = fused_rdb(x, ks, bs, interpret=True)
+        gx_e, gk_e, gb_e = jax.grad(
+            fused_loss, argnums=(0, 1, 2)
+        )(x, ks, bs)
+
+        rdb_mod.EXT_KERNEL = False
+        # clear so the jit cache cannot serve the ext trace
+        jax.clear_caches()
         out_slot = fused_rdb(x, ks, bs, interpret=True)
         gx_s, gk_s, gb_s = jax.grad(
             fused_loss, argnums=(0, 1, 2)

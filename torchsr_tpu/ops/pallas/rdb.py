@@ -270,12 +270,22 @@ def _rdb_fwd_kernel_ext(x_ref, w1, w2, w3, w4, w5, b1, b2, b3, b4, b5,
         feat_ref[:] = buf_ref[wimg:wimg + hw, :FEAT]
 
 
-# Kernel-variant switch for the forward: the extended-row buffer
-# (_rdb_fwd_kernel_ext) when the shape qualifies, else the 3-slot
-# layout.  Env-driven (read once at import) because `_rdb_fwd`'s jit
-# cache does not key on it: A/B runs use separate processes
-# (TORCHSR_RDB_EXT=0 forces the 3-slot kernel everywhere).
-EXT_KERNEL = os.environ.get("TORCHSR_RDB_EXT", "1") != "0"
+# Kernel-variant switch: the extended-row buffer kernels
+# (_rdb_fwd_kernel_ext / _rdb_bwd_kernel_ext) are a MEASURED NEGATIVE
+# and default OFF.  The hypothesis was that replacing the three
+# dy-shifted slot stores (and the backward's shift+mask accumulation)
+# with one row-extended buffer would cut VPU copy traffic; the
+# order-swapped sequential A/B at the training shape (16,32,32,64)
+# bf16 measured the ext layout ~8-10% SLOWER on both passes
+# (fwd 183-207 vs 167-183 us/RDB, fwd+bwd 395-396 vs 359-373) and at
+# parity at the 64px inference tile shape (310 both).  The extended
+# buffer's GEMM operands live at row offsets (W, 2W) instead of 0 —
+# Mosaic pays a sublane-offset relayout per dot that costs as much as
+# the slot stores it saved.  Kept for re-evaluation on future
+# toolchains: TORCHSR_RDB_EXT=1 enables it (env-driven, read once at
+# import, because `_rdb_fwd`'s jit cache does not key on it — A/B runs
+# use separate processes).
+EXT_KERNEL = os.environ.get("TORCHSR_RDB_EXT", "0") == "1"
 
 
 def _ext_eligible(hw: int, width: int) -> bool:
