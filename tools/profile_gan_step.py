@@ -25,6 +25,7 @@ Adam/synthesis/fusion slack.
 from __future__ import annotations
 
 import argparse
+import functools
 import sys
 import time
 from argparse import Namespace
@@ -37,7 +38,13 @@ def main() -> None:
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--n1", type=int, default=1)
     ap.add_argument("--n2", type=int, default=3)
+    ap.add_argument("--components", default="",
+                    help="comma-separated subset to run (default: all)")
     args = ap.parse_args()
+    only = set(filter(None, args.components.split(",")))
+
+    def want(name):
+        return not only or name in only
 
     from torchsr_tpu.utils.compile_cache import enable_compilation_cache
 
@@ -154,6 +161,34 @@ def main() -> None:
 
     lr_img_up = hr_img  # disc fake input placeholder (same HR shape)
 
+
+    # Adam/synthesis reps: the profile's residual "gap" components.
+    from torchsr_tpu.data.preprocess import synthesize_pair
+    from torchsr_tpu.train.state import apply_updates
+
+    opt = trainer.opt
+    fake_ggrads = jax.tree.map(jnp.zeros_like, gen_params)
+    fake_dgrads = jax.tree.map(jnp.zeros_like, disc_params)
+    crops0, flips0 = trainer._put(*next(iter(tl.epoch(0))))
+
+    def rep_adam3(s):
+        lr = 1e-4 * (1.0 + 1e-12 * s)
+        g = jax.tree.map(lambda x: x + 1e-20 * s, fake_ggrads)
+        p1, _ = apply_updates(gen_params, g, state.gen_opt_state, opt, lr)
+        p2, _ = apply_updates(
+            disc_params, fake_dgrads, state.disc_opt_state, opt, lr
+        )
+        p3, _ = apply_updates(gen_params, g, state.psnr_opt_state, opt, lr)
+        return (jnp.mean(jax.tree.leaves(p1)[0].astype(jnp.float32))
+                + jnp.mean(jax.tree.leaves(p2)[0].astype(jnp.float32))
+                + jnp.mean(jax.tree.leaves(p3)[0].astype(jnp.float32)))
+
+    def rep_synth(s):
+        cr = (crops0.astype(jnp.float32) + s * 1e-12).astype(crops0.dtype)
+        lr_i, hr_i = synthesize_pair(cr, flips0, upscale_factor=4)
+        return (jnp.mean(lr_i.astype(jnp.float32))
+                + jnp.mean(hr_i.astype(jnp.float32)))
+
     def make_chain(rep, n):
         @jax.jit
         def chain(s):
@@ -192,40 +227,260 @@ def main() -> None:
     timed(make_chain(rep_disc_fwd, 1))
 
     results = {}
-    results["disc_fwd"] = slope(rep_disc_fwd, "disc_fwd")
-    results["dloss_fwd_bwd"] = slope(rep_dloss_fwd_bwd, "dloss_fwd_bwd")
-    results["vgg_fwd"] = slope(rep_vgg_fwd, "vgg_fwd")
-    results["head_fwd_bwd"] = slope(rep_head_fwd_bwd, "head_fwd_bwd")
-    # gen chains compile slowly (345 unrolled convs per rep): keep n2=2
-    results["gen_fwd"] = slope(rep_gen_fwd, "gen_fwd", n2=2)
-    results["gen_fwd_bwd"] = slope(rep_gen_fwd_bwd, "gen_fwd_bwd", n2=2)
+    for name, rep, n2 in (
+        ("adam3", rep_adam3, None),
+        ("synth", rep_synth, None),
+        ("disc_fwd", rep_disc_fwd, None),
+        ("dloss_fwd_bwd", rep_dloss_fwd_bwd, None),
+        ("vgg_fwd", rep_vgg_fwd, None),
+        # gen chains compile slowly (345 unrolled convs/rep): n2=2
+        ("head_fwd_bwd", rep_head_fwd_bwd, None),
+        ("gen_fwd", rep_gen_fwd, 2),
+        ("gen_fwd_bwd", rep_gen_fwd_bwd, 2),
+    ):
+        if want(name):
+            results[name] = slope(rep, name, n2=n2)
+
+    # Packed-boundary full step (the production epoch-loop path).
+    # Runs BEFORE statepass/full_step: pack does not donate, so the
+    # state stays live for them; they donate it.
+    if want("full_step_packed"):
+        batches = [trainer._put(c, f) for c, f in tl.epoch(0)]
+        packed = trainer.pack_state(state)
+        crops, flips = batches[0]
+        for _ in range(2):
+            packed, m = trainer.gan_step_packed(
+                packed, crops, flips, 1e-4, 1e-4, vgg_params
+            )
+        float(m["gen_loss"])
+        for _phase in range(2):
+            t0 = time.perf_counter()
+            for i in range(args.iters):
+                crops, flips = batches[i % len(batches)]
+                packed, m = trainer.gan_step_packed(
+                    packed, crops, flips, 1e-4, 1e-4, vgg_params
+                )
+            float(m["gen_loss"])
+            elapsed = time.perf_counter() - t0
+        results["full_step_packed"] = elapsed / args.iters * 1e3
+        print(f"{'full_step_packed':16s} "
+              f"{results['full_step_packed']:8.2f} ms", file=sys.stderr)
+
+    # DEVICE time of one full per-leaf GAN step: chains of the whole
+    # step body inside ONE jit (slope over n=1 vs n=2 cancels every
+    # per-call cost).  The gap between this and the per-call full_step
+    # wall time is what a device-side multi-step loop could reclaim.
+    if want("step_device"):
+        batches = [trainer._put(c, f) for c, f in tl.epoch(0)]
+        (b0c, b0f), (b1c, b1f) = batches[0], batches[1]
+
+        def make_step_chain(n):
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def chain(st, b0c, b0f, b1c, b1f, vgg):
+                acc = jnp.float32(0.0)
+                for i in range(n):
+                    c, fl = (b0c, b0f) if i % 2 == 0 else (b1c, b1f)
+                    st, m = trainer.gan_step(st, c, fl, 1e-4, 1e-4, vgg)
+                    acc = acc + m["gen_loss"]
+                return st, acc
+
+            return chain
+
+        def timed_state_chain(chain):
+            import jax.tree_util as jtu
+
+            st = jax.tree.map(lambda x: x + 0, state)  # fresh copy
+            st, acc = chain(st, b0c, b0f, b1c, b1f, vgg_params)
+            float(acc)
+            for _phase in range(2):
+                t0 = time.perf_counter()
+                for _ in range(args.iters):
+                    st, acc = chain(st, b0c, b0f, b1c, b1f, vgg_params)
+                float(acc)
+                elapsed = time.perf_counter() - t0
+            return elapsed / args.iters
+
+        t1 = timed_state_chain(make_step_chain(1))
+        t2 = timed_state_chain(make_step_chain(2))
+        results["step_device"] = (t2 - t1) * 1e3
+        print(f"{'step_chain1':16s} {t1 * 1e3:8.2f} ms\n"
+              f"{'step_chain2':16s} {t2 * 1e3:8.2f} ms\n"
+              f"{'step_device':16s} {results['step_device']:8.2f} ms",
+              file=sys.stderr)
+
+    # Device cost of the packed boundary itself: chains of
+    # "unpack -> touch every leaf -> pack" vs "touch every leaf" run
+    # INSIDE one jit (slope method over two chain lengths).  The
+    # difference is what one unpack+pack round trip adds on top of the
+    # per-leaf work the real step performs anyway.
+    if want("packcost"):
+        packer = trainer.packer
+        bufs0 = trainer.pack_state(state)
+
+        def touch(st, s):
+            return jax.tree.map(
+                lambda x: (x * (1.0 + 1e-12 * s).astype(x.dtype))
+                if jnp.issubdtype(x.dtype, jnp.floating) else x,
+                st,
+            )
+
+        def make_tree_chain(n):
+            @jax.jit
+            def chain(st, s):
+                for _ in range(n):
+                    st = touch(st, s)
+                    s = s + jnp.mean(
+                        jax.tree.leaves(st)[0].astype(jnp.float32)
+                    ) * 1e-20
+                return st, s
+            return chain
+
+        def make_packed_chain(n):
+            @jax.jit
+            def chain(bufs, s):
+                for _ in range(n):
+                    st = packer.unpack(bufs)
+                    st = touch(st, s)
+                    bufs = packer.pack(st)
+                    s = s + jnp.mean(
+                        jax.tree.leaves(st)[0].astype(jnp.float32)
+                    ) * 1e-20
+                return bufs, s
+            return chain
+
+        def timed_chain(chain, arg):
+            s0 = jnp.float32(1.0)
+            out, s = chain(arg, s0)
+            float(s)
+            for _phase in range(2):
+                t0 = time.perf_counter()
+                a, s = arg, s0
+                for _ in range(args.iters):
+                    a, s = chain(a, s)
+                float(s)
+                elapsed = time.perf_counter() - t0
+            return elapsed / args.iters
+
+        n1, n2 = 1, 4
+        t_tree = (timed_chain(make_tree_chain(n2), state)
+                  - timed_chain(make_tree_chain(n1), state)) / (n2 - n1)
+        t_packed = (timed_chain(make_packed_chain(n2), bufs0)
+                    - timed_chain(make_packed_chain(n1), bufs0)) \
+            / (n2 - n1)
+        results["packcost"] = (t_packed - t_tree) * 1e3
+        print(f"{'touch_tree':16s} {t_tree * 1e3:8.2f} ms/rep\n"
+              f"{'touch_packed':16s} {t_packed * 1e3:8.2f} ms/rep\n"
+              f"{'packcost':16s} {results['packcost']:8.2f} ms/rep",
+              file=sys.stderr)
+
+    # TRUE no-op state pass: donated identity on every leaf (XLA
+    # aliases input to output, zero device kernels) — pure host/tunnel
+    # argument marshalling for the per-leaf call convention.
+    if want("statepass_noop"):
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def pass_noop(st, s):
+            return st, s + 1.0
+
+        st, s = state, jnp.float32(0.0)
+        st, s = pass_noop(st, s)
+        float(s)
+        for _phase in range(2):
+            t0 = time.perf_counter()
+            for _ in range(args.iters):
+                st, s = pass_noop(st, s)
+            float(s)
+            elapsed = time.perf_counter() - t0
+        results["statepass_noop"] = elapsed / args.iters * 1e3
+        print(f"{'statepass_noop':16s} "
+              f"{results['statepass_noop']:8.2f} ms", file=sys.stderr)
+        state = st
+
+    # Packed no-op: the same donated identity but through the packed
+    # boundary (a handful of buffers).  statepass_noop minus this is
+    # the marshalling cost packing can actually remove.
+    if want("packedpass_noop"):
+        packed0 = trainer.pack_state(state)
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def pass_packed(bufs, s):
+            return bufs, s + 1.0
+
+        pk, s = packed0, jnp.float32(0.0)
+        pk, s = pass_packed(pk, s)
+        float(s)
+        for _phase in range(2):
+            t0 = time.perf_counter()
+            for _ in range(args.iters):
+                pk, s = pass_packed(pk, s)
+            float(s)
+            elapsed = time.perf_counter() - t0
+        results["packedpass_noop"] = elapsed / args.iters * 1e3
+        print(f"{'packedpass_noop':16s} "
+              f"{results['packedpass_noop']:8.2f} ms", file=sys.stderr)
+
+    # Per-call overhead of passing the full state pytree (donated
+    # no-op): isolates host/tunnel argument marshalling from device
+    # compute.  Run like full_step — per-call wall, not slope.
+    if want("statepass"):
+        import jax.tree_util as jtu
+
+        nleaves = len(jtu.tree_leaves(state))
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def pass_state(st, s):
+            new_gp = jax.tree.map(
+                lambda x: (x * (1.0 + 1e-12 * s).astype(x.dtype)),
+                st.gen_params,
+            )
+            return st.replace(gen_params=new_gp), s + 1.0
+
+        st, s = state, jnp.float32(0.0)
+        st, s = pass_state(st, s)
+        float(s)
+        for _phase in range(2):
+            t0 = time.perf_counter()
+            for _ in range(args.iters):
+                st, s = pass_state(st, s)
+            float(s)
+            elapsed = time.perf_counter() - t0
+        results["statepass"] = elapsed / args.iters * 1e3
+        print(f"{'statepass':16s} {results['statepass']:8.2f} ms "
+              f"({nleaves} state leaves)", file=sys.stderr)
+        state = st  # donated: rebind so full_step uses live buffers
 
     # Full step cross-check (already-jitted trainer step, chained).
-    batches = [trainer._put(c, f) for c, f in tl.epoch(0)]
-    crops, flips = batches[0]
-    st = state
-    for _ in range(2):
-        st, m = trainer.gan_step(st, crops, flips, 1e-4, 1e-4, vgg_params)
-    float(m["gen_loss"])
-    for _phase in range(2):
-        t0 = time.perf_counter()
-        for i in range(args.iters):
-            crops, flips = batches[i % len(batches)]
+    # MUST run last: gan_step donates the state, invalidating the
+    # param buffers the component reps capture.
+    if want("full_step"):
+        batches = [trainer._put(c, f) for c, f in tl.epoch(0)]
+        crops, flips = batches[0]
+        st = state
+        for _ in range(2):
             st, m = trainer.gan_step(
                 st, crops, flips, 1e-4, 1e-4, vgg_params
             )
         float(m["gen_loss"])
-        elapsed = time.perf_counter() - t0
-    results["full_step"] = elapsed / args.iters * 1e3
-    print(f"{'full_step':16s} {results['full_step']:8.2f} ms",
-          file=sys.stderr)
+        for _phase in range(2):
+            t0 = time.perf_counter()
+            for i in range(args.iters):
+                crops, flips = batches[i % len(batches)]
+                st, m = trainer.gan_step(
+                    st, crops, flips, 1e-4, 1e-4, vgg_params
+                )
+            float(m["gen_loss"])
+            elapsed = time.perf_counter() - t0
+        results["full_step"] = elapsed / args.iters * 1e3
+        print(f"{'full_step':16s} {results['full_step']:8.2f} ms",
+              file=sys.stderr)
 
-    approx = (results["gen_fwd_bwd"] + results["dloss_fwd_bwd"]
-              + results["head_fwd_bwd"])
-    print(f"\nsum(gen_fwd_bwd + dloss + head) = {approx:.2f} ms vs "
-          f"full_step {results['full_step']:.2f} ms "
-          f"(gap = Adam + synthesis + vjp-vs-grad structure)",
-          file=sys.stderr)
+    if not only:
+        approx = (results["gen_fwd_bwd"] + results["dloss_fwd_bwd"]
+                  + results["head_fwd_bwd"] + results["adam3"]
+                  + results["synth"])
+        print(f"\nsum(gen_fwd_bwd + dloss + head + adam3 + synth) = "
+              f"{approx:.2f} ms vs full_step {results['full_step']:.2f} ms "
+              f"(gap = dispatch + vjp-vs-grad structure + scheduling)",
+              file=sys.stderr)
 
 
 if __name__ == "__main__":

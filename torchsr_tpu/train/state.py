@@ -10,6 +10,7 @@ epoch), so the optimizer transform itself is stateless in the schedule.
 
 from __future__ import annotations
 
+import math
 from typing import Any
 
 import jax
@@ -90,6 +91,137 @@ def init_gan_state(
         )
 
     return jax.jit(build)(rng)
+
+
+class StatePacker:
+    """Flatten a state pytree into ONE flat buffer per dtype for the
+    jit call boundary.
+
+    Why this exists: every jitted call marshals each pytree leaf as a
+    separate device buffer, at a per-leaf host cost (~5 us/leaf through
+    this platform's tunneled runtime).  The ESRGAN ``GANTrainState``
+    has 3,631 leaves (345 conv kernel/bias pairs x three Adam trees),
+    and a donated NO-OP jit over it measures 17.7 ms/call — 22% of the
+    entire 81 ms GAN step spent on argument marshalling, not compute
+    (tools/profile_gan_step.py ``statepass``).  Packing the state into
+    a handful of per-dtype mega-buffers removes that cost; inside the
+    program the unpack slices fuse into the consumers (the bf16 casts
+    the step already performs), and the optimizer's thousands of tiny
+    per-leaf update ops become a few large fused elementwise kernels.
+
+    The same technique underlies torch DDP's gradient buckets and
+    fused optimizers; on TPU it additionally shrinks the executable's
+    argument table.  (The reference passes torch module objects, where
+    per-parameter dispatch is hidden by CUDA-stream asynchrony:
+    /root/reference/torchsr/srgan/trainer.py:167-196.)
+
+    ``pack``/``unpack`` are pure jnp transforms: usable inside jit
+    (where they fuse) and directly (where they dispatch a handful of
+    concats).  Buffer order within a dtype group is leaf order, so
+    pack(unpack(b)) and unpack(pack(s)) are exact identities.
+    """
+
+    def __init__(self, template: Any):
+        path_leaves, treedef = jax.tree_util.tree_flatten_with_path(
+            template
+        )
+        self.treedef = treedef
+        self._specs: list[tuple[str, int, int, tuple[int, ...]]] = []
+        self._paths: list[str] = []
+        sizes: dict[str, int] = {}
+        for path, leaf in path_leaves:
+            key = jnp.dtype(leaf.dtype).name
+            size = math.prod(leaf.shape)
+            off = sizes.get(key, 0)
+            self._specs.append((key, off, size, tuple(leaf.shape)))
+            self._paths.append(jax.tree_util.keystr(path))
+            sizes[key] = off + size
+        self.sizes = sizes
+
+    @property
+    def n_leaves(self) -> int:
+        return len(self._specs)
+
+    @property
+    def n_buffers(self) -> int:
+        return len(self.sizes)
+
+    def pack(self, state: Any) -> dict[str, jnp.ndarray]:
+        leaves = self.treedef.flatten_up_to(state)
+        parts: dict[str, list] = {k: [] for k in self.sizes}
+        for leaf, (key, _off, size, _shape) in zip(leaves, self._specs):
+            parts[key].append(jnp.reshape(leaf, (size,)))
+        return {
+            key: (chunks[0] if len(chunks) == 1
+                  else jnp.concatenate(chunks))
+            for key, chunks in parts.items()
+        }
+
+    def unpack(self, buffers: dict[str, jnp.ndarray]) -> Any:
+        leaves = [
+            jnp.reshape(
+                jax.lax.slice(buffers[key], (off,), (off + size,)), shape
+            )
+            for key, off, size, shape in self._specs
+        ]
+        return jax.tree_util.tree_unflatten(self.treedef, leaves)
+
+    def range_of(self, prefix: str, dtype_name: str) -> tuple[int, int]:
+        """(offset, size) of the contiguous ``dtype_name`` region whose
+        leaf paths start with ``prefix`` (e.g. ``.gen_params`` or
+        ``.gen_opt_state[0].mu``).  Raises if no leaf matches or the
+        matching leaves are not one contiguous run of the buffer —
+        contiguity is what lets the packed-native optimizer treat a
+        whole field as a single flat slice."""
+        hits = [
+            (off, size)
+            for path, (key, off, size, _shape) in zip(
+                self._paths, self._specs
+            )
+            if key == dtype_name and path.startswith(prefix)
+        ]
+        if not hits:
+            raise KeyError(f"no {dtype_name} leaves under {prefix!r}")
+        hits.sort()
+        start = hits[0][0]
+        end = start
+        for off, size in hits:
+            if off != end:
+                raise ValueError(
+                    f"{prefix!r} {dtype_name} leaves are not contiguous "
+                    f"in the packed buffer (gap at offset {end})"
+                )
+            end = off + size
+        return start, end - start
+
+
+def flat_adam(params, grads, mu, nu, count, lr,
+              b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8):
+    """One Adam step over FLAT 1-D buffers — the packed-native
+    optimizer.
+
+    Bit-for-bit the math of ``make_adam`` (optax ``scale_by_adam`` with
+    eps_root=0 followed by scale(-1) and the step's lr multiply), but
+    executed as a handful of large fused elementwise kernels over the
+    whole parameter region instead of ~2 per-leaf ops per tensor.  On
+    the ESRGAN GAN step the per-leaf optimizer update dispatches ~2,000
+    tiny kernels (three Adam trees over 345-conv params); at ~5-10 us
+    of launch overhead each that is most of the measured ~19 ms gap
+    between the step's component sum and its wall time
+    (tools/profile_gan_step.py).
+
+    Returns ``(new_params, new_mu, new_nu, new_count)``; ``count`` is
+    the optax int32 step counter for bias correction.
+    """
+    count_inc = count + 1
+    mu = b1 * mu + (1.0 - b1) * grads
+    nu = b2 * nu + (1.0 - b2) * (grads * grads)
+    # optax bias_correction: moment / (1 - decay**count_inc)
+    c = count_inc.astype(jnp.float32)
+    mu_hat = mu / (1.0 - b1 ** c)
+    nu_hat = nu / (1.0 - b2 ** c)
+    new_params = params - lr * mu_hat / (jnp.sqrt(nu_hat) + eps)
+    return new_params, mu, nu, count_inc
 
 
 def step_lr_schedule(

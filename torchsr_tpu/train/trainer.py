@@ -62,7 +62,9 @@ from torchsr_tpu.train import losses as L
 from torchsr_tpu.train.metrics import mse_per_sample, ssim_per_sample
 from torchsr_tpu.train.state import (
     GANTrainState,
+    StatePacker,
     apply_updates,
+    flat_adam,
     init_gan_state,
     make_adam,
     step_lr_schedule,
@@ -225,20 +227,27 @@ class GANTrainer:
             )
             return out, mut.get("batch_stats", stats)
 
-        def pretrain_step(state: GANTrainState, crops_u8, flips):
+        def pretrain_core(gen_params, gen_stats, crops_u8, flips):
+            """Loss + gradients for one pretrain step (shared by the
+            per-leaf and packed-native jits; the optimizer application
+            differs between them)."""
             lr_img, hr_img = synthesize_pair(
                 crops_u8, flips, upscale_factor=self.upscale
             )
 
-            def loss_fn(gen_params):
-                sr, new_stats = _gen_apply(
-                    gen_params, state.gen_stats, lr_img, True
-                )
+            def loss_fn(gp):
+                sr, new_stats = _gen_apply(gp, gen_stats, lr_img, True)
                 return pixel_loss(sr, hr_img), new_stats
 
             (loss, new_stats), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
-            )(state.gen_params)
+            )(gen_params)
+            return loss, new_stats, grads
+
+        def pretrain_step(state: GANTrainState, crops_u8, flips):
+            loss, new_stats, grads = pretrain_core(
+                state.gen_params, state.gen_stats, crops_u8, flips
+            )
             new_params, new_opt = apply_updates(
                 state.gen_params, grads, state.psnr_opt_state, opt, BASE_LR
             )
@@ -250,13 +259,20 @@ class GANTrainer:
             )
             return state, loss
 
-        def gan_step(
-            state: GANTrainState, crops_u8, flips, gen_lr, disc_lr,
-            vgg_params,
+        def gan_core(
+            gen_params, gen_stats, disc_params, disc_stats,
+            crops_u8, flips, vgg_params, update_disc,
         ):
-            # vgg_params is an explicit jit argument: closure-capturing
-            # the ~20M-param VGG trunk would bake it into the executable
-            # as a constant (rule #4; ~300x per-call penalty on TPU).
+            """One adversarial step's graph up to the gradients.
+
+            Shared by the per-leaf and packed-native jits.  The
+            discriminator optimizer application happens MID-step (the
+            generator update must see the *updated* discriminator, as
+            the reference steps disc_optimizer before the gen losses),
+            so it is injected as ``update_disc(dgrads) ->
+            (new_disc_params, extra)`` — tree Adam for the per-leaf
+            path, flat fused Adam for the packed path.
+            """
             lr_img, hr_img = synthesize_pair(
                 crops_u8, flips, upscale_factor=self.upscale
             )
@@ -274,35 +290,25 @@ class GANTrainer:
             # via `gen_grad_strategy` from measurements.
             use_vjp = self.gen_grad_strategy == "vjp"
 
-            def gen_fwd(gen_params):
-                return _gen_apply(
-                    gen_params, state.gen_stats, lr_img, True
-                )
+            def gen_fwd(gp):
+                return _gen_apply(gp, gen_stats, lr_img, True)
 
             if use_vjp:
-                (sr, gen_stats1), gen_vjp = jax.vjp(
-                    gen_fwd, state.gen_params
-                )
+                (sr, gen_stats1), gen_vjp = jax.vjp(gen_fwd, gen_params)
             else:
-                sr, gen_stats1 = gen_fwd(state.gen_params)
+                sr, gen_stats1 = gen_fwd(gen_params)
             sr_sg = jax.lax.stop_gradient(sr)
 
-            def d_loss(disc_params):
-                real, stats1 = _disc_apply(
-                    disc_params, state.disc_stats, hr_img
-                )
-                fake, stats2 = _disc_apply(disc_params, stats1, sr_sg)
+            def d_loss(dp):
+                real, stats1 = _disc_apply(dp, disc_stats, hr_img)
+                fake, stats2 = _disc_apply(dp, stats1, sr_sg)
                 return disc_loss_fn(real, fake), stats2
 
             (disc_loss_val, disc_stats1), dgrads = jax.value_and_grad(
                 d_loss, has_aux=True
-            )(state.disc_params)
-            new_disc_params, new_disc_opt = apply_updates(
-                state.disc_params, dgrads, state.disc_opt_state, opt, disc_lr
-            )
+            )(disc_params)
+            new_disc_params, disc_extra = update_disc(dgrads)
 
-            # Generator update sees the *updated* discriminator
-            # (reference steps disc_optimizer before the gen losses).
             hr_sg = jax.lax.stop_gradient(hr_img)
 
             def head_loss(sr2):
@@ -324,18 +330,40 @@ class GANTrainer:
                 )
                 gen_stats2 = gen_stats1
             else:
-                def g_loss(gen_params):
-                    sr2, stats2 = _gen_apply(
-                        gen_params, gen_stats1, lr_img, True
-                    )
+                def g_loss(gp):
+                    sr2, stats2 = _gen_apply(gp, gen_stats1, lr_img, True)
                     loss, dstats = head_loss(sr2)
                     return loss, (stats2, dstats)
 
                 (gen_loss_val, (gen_stats2, disc_stats2)), ggrads = (
-                    jax.value_and_grad(g_loss, has_aux=True)(
-                        state.gen_params
-                    )
+                    jax.value_and_grad(g_loss, has_aux=True)(gen_params)
                 )
+            return (
+                disc_loss_val, gen_loss_val, gen_stats2, disc_stats2,
+                ggrads, new_disc_params, disc_extra,
+            )
+
+        def gan_step(
+            state: GANTrainState, crops_u8, flips, gen_lr, disc_lr,
+            vgg_params,
+        ):
+            # vgg_params is an explicit jit argument: closure-capturing
+            # the ~20M-param VGG trunk would bake it into the executable
+            # as a constant (rule #4; ~300x per-call penalty on TPU).
+            def update_disc(dgrads):
+                return apply_updates(
+                    state.disc_params, dgrads, state.disc_opt_state,
+                    opt, disc_lr,
+                )
+
+            (
+                disc_loss_val, gen_loss_val, gen_stats2, disc_stats2,
+                ggrads, new_disc_params, new_disc_opt,
+            ) = gan_core(
+                state.gen_params, state.gen_stats, state.disc_params,
+                state.disc_stats, crops_u8, flips, vgg_params,
+                update_disc,
+            )
             new_gen_params, new_gen_opt = apply_updates(
                 state.gen_params, ggrads, state.gen_opt_state, opt, gen_lr
             )
@@ -376,6 +404,259 @@ class GANTrainer:
         self.infer = jax.jit(
             lambda params, stats, x: _gen_apply(params, stats, x, False)[0]
         )
+
+        self._build_packed_steps(
+            donate, pretrain_core, gan_core, pretrain_step, gan_step
+        )
+
+    def _build_packed_steps(
+        self, donate, pretrain_core, gan_core, pretrain_step, gan_step
+    ) -> None:
+        """Packed-native step variants — the production epoch loops.
+
+        Two measured costs motivate this path
+        (tools/profile_gan_step.py, v5e via the tunneled runtime):
+
+        1. Per-leaf argument marshalling: a donated TRUE no-op jit over
+           the raw ESRGAN state tree (3,631 leaves) costs 19.4 ms/call
+           vs 5.5 ms for the same state as per-dtype flat buffers.  In
+           a steady-state loop this overlaps with device compute, but
+           it bounds how far the device time can be seen.
+        2. The optimizer soup: three tree-Adam applications dispatch
+           ~2,000 tiny per-leaf kernels whose launch overhead is most
+           of the ~19 ms gap between the step's component sum (63 ms)
+           and its wall time (82 ms).
+
+        So the packed step does NOT wrap the tree step (a naive
+        unpack->step->repack wrapper measured 89.3 ms vs 83.2 — the
+        2,070-leaf repack concat costs real device time).  Instead the
+        state crosses the boundary as one flat buffer per dtype, the
+        model math runs on unpacked views (slices fuse into the bf16
+        operand casts the forward already performs), and the optimizer
+        runs FLAT: one fused `flat_adam` over each contiguous
+        param/moment region (train/state.py), with the output buffer
+        assembled from a handful of large region segments.
+
+        Falls back to naive pack/unpack wrapping if the state layout
+        breaks the region assumptions (everything f32/int32, each
+        field's leaves contiguous).
+        """
+        import math as _math
+
+        pk = StatePacker(self.state)
+        self.packer = pk
+        self.pack_state = jax.jit(pk.pack)
+        self.unpack_state = jax.jit(pk.unpack)
+        F32 = jnp.dtype(jnp.float32).name
+        I32 = jnp.dtype(jnp.int32).name
+
+        def _naive_fallback():
+            def packed_pretrain(bufs, crops_u8, flips):
+                st, loss = pretrain_step(pk.unpack(bufs), crops_u8, flips)
+                return pk.pack(st), loss
+
+            def packed_gan(bufs, crops_u8, flips, gen_lr, disc_lr,
+                           vgg_params):
+                st, metrics = gan_step(
+                    pk.unpack(bufs), crops_u8, flips, gen_lr, disc_lr,
+                    vgg_params,
+                )
+                return pk.pack(st), metrics
+
+            self.pretrain_step_packed = donate(packed_pretrain)
+            self.gan_step_packed = donate(packed_gan)
+
+        try:
+            if set(pk.sizes) - {F32, I32}:
+                raise ValueError("non-f32/i32 state leaves")
+
+            def _rng(prefix, dt=F32, optional=False):
+                try:
+                    return pk.range_of(prefix, dt)
+                except KeyError:
+                    if optional:
+                        return (0, 0)
+                    raise
+
+            R = {
+                "gen_params": _rng(".gen_params"),
+                "gen_stats": _rng(".gen_stats", optional=True),
+                "disc_params": _rng(".disc_params"),
+                "disc_stats": _rng(".disc_stats", optional=True),
+                "psnr_mu": _rng(".psnr_opt_state[0].mu"),
+                "psnr_nu": _rng(".psnr_opt_state[0].nu"),
+                "gen_mu": _rng(".gen_opt_state[0].mu"),
+                "gen_nu": _rng(".gen_opt_state[0].nu"),
+                "disc_mu": _rng(".disc_opt_state[0].mu"),
+                "disc_nu": _rng(".disc_opt_state[0].nu"),
+            }
+            Ri = {
+                "psnr_count": _rng(".psnr_opt_state[0].count", I32),
+                "gen_count": _rng(".gen_opt_state[0].count", I32),
+                "disc_count": _rng(".disc_opt_state[0].count", I32),
+                "step": _rng(".step", I32),
+            }
+            if sum(s for _o, s in R.values()) != pk.sizes[F32]:
+                raise ValueError("f32 regions do not tile the buffer")
+            if sum(s for _o, s in Ri.values()) != pk.sizes.get(I32, 0):
+                raise ValueError("i32 regions do not tile the buffer")
+        except (KeyError, ValueError) as exc:
+            self.logger.log(
+                f"packed-native steps unavailable ({exc}); "
+                f"using naive packed wrappers"
+            )
+            _naive_fallback()
+            return
+
+        def _make_unravel(tree):
+            leaves, treedef = jax.tree_util.tree_flatten(tree)
+            shapes = [
+                (tuple(x.shape), int(_math.prod(x.shape))) for x in leaves
+            ]
+
+            def unravel(flat):
+                out, off = [], 0
+                for shape, size in shapes:
+                    out.append(
+                        jnp.reshape(
+                            jax.lax.slice(flat, (off,), (off + size,)),
+                            shape,
+                        )
+                    )
+                    off += size
+                return jax.tree_util.tree_unflatten(treedef, out)
+
+            return unravel
+
+        unravel_disc = _make_unravel(self.state.disc_params)
+
+        def _ravel(tree):
+            leaves = jax.tree_util.tree_leaves(tree)
+            if not leaves:
+                return jnp.zeros((0,), jnp.float32)
+            flats = [jnp.reshape(x, (-1,)) for x in leaves]
+            return flats[0] if len(flats) == 1 else jnp.concatenate(flats)
+
+        def _assemble(total, segments):
+            """Concatenate (offset, 1-D segment) pairs into the full
+            buffer; trace-time asserts catch any layout drift."""
+            segs = sorted(
+                (s for s in segments if s[1].shape[0]), key=lambda t: t[0]
+            )
+            pos = 0
+            for off, arr in segs:
+                if off != pos:
+                    raise AssertionError(
+                        f"packed segment at {off}, expected {pos}"
+                    )
+                pos += arr.shape[0]
+            if pos != total:
+                raise AssertionError(
+                    f"packed segments cover {pos} of {total}"
+                )
+            return (
+                segs[0][1] if len(segs) == 1
+                else jnp.concatenate([a for _o, a in segs])
+            )
+
+        def packed_pretrain(bufs, crops_u8, flips):
+            st = pk.unpack(bufs)
+            loss, new_stats, grads = pretrain_core(
+                st.gen_params, st.gen_stats, crops_u8, flips
+            )
+            f = bufs[F32]
+
+            def sl(r):
+                return jax.lax.slice(f, (r[0],), (r[0] + r[1],))
+
+            p2, mu2, nu2, c2 = flat_adam(
+                sl(R["gen_params"]), _ravel(grads),
+                sl(R["psnr_mu"]), sl(R["psnr_nu"]),
+                st.psnr_opt_state[0].count, BASE_LR,
+            )
+            new_f = _assemble(pk.sizes[F32], [
+                (R["gen_params"][0], p2),
+                (R["gen_stats"][0], _ravel(new_stats)),
+                (R["disc_params"][0], sl(R["disc_params"])),
+                (R["disc_stats"][0], sl(R["disc_stats"])),
+                (R["psnr_mu"][0], mu2),
+                (R["psnr_nu"][0], nu2),
+                (R["gen_mu"][0], sl(R["gen_mu"])),
+                (R["gen_nu"][0], sl(R["gen_nu"])),
+                (R["disc_mu"][0], sl(R["disc_mu"])),
+                (R["disc_nu"][0], sl(R["disc_nu"])),
+            ])
+            g = bufs[I32]
+
+            def sli(r):
+                return jax.lax.slice(g, (r[0],), (r[0] + r[1],))
+
+            new_i = _assemble(pk.sizes[I32], [
+                (Ri["psnr_count"][0], jnp.reshape(c2, (1,))),
+                (Ri["gen_count"][0], sli(Ri["gen_count"])),
+                (Ri["disc_count"][0], sli(Ri["disc_count"])),
+                (Ri["step"][0], jnp.reshape(st.step + 1, (1,))),
+            ])
+            return {F32: new_f, I32: new_i}, loss
+
+        def packed_gan(bufs, crops_u8, flips, gen_lr, disc_lr,
+                       vgg_params):
+            st = pk.unpack(bufs)
+            f = bufs[F32]
+
+            def sl(r):
+                return jax.lax.slice(f, (r[0],), (r[0] + r[1],))
+
+            def update_disc(dgrads):
+                dp2, dmu2, dnu2, dc2 = flat_adam(
+                    sl(R["disc_params"]), _ravel(dgrads),
+                    sl(R["disc_mu"]), sl(R["disc_nu"]),
+                    st.disc_opt_state[0].count, disc_lr,
+                )
+                return unravel_disc(dp2), (dp2, dmu2, dnu2, dc2)
+
+            (
+                disc_loss_val, gen_loss_val, gen_stats2, disc_stats2,
+                ggrads, _new_disc_params, (dp2, dmu2, dnu2, dc2),
+            ) = gan_core(
+                st.gen_params, st.gen_stats, st.disc_params,
+                st.disc_stats, crops_u8, flips, vgg_params, update_disc,
+            )
+            gp2, gmu2, gnu2, gc2 = flat_adam(
+                sl(R["gen_params"]), _ravel(ggrads),
+                sl(R["gen_mu"]), sl(R["gen_nu"]),
+                st.gen_opt_state[0].count, gen_lr,
+            )
+            new_f = _assemble(pk.sizes[F32], [
+                (R["gen_params"][0], gp2),
+                (R["gen_stats"][0], _ravel(gen_stats2)),
+                (R["disc_params"][0], dp2),
+                (R["disc_stats"][0], _ravel(disc_stats2)),
+                (R["psnr_mu"][0], sl(R["psnr_mu"])),
+                (R["psnr_nu"][0], sl(R["psnr_nu"])),
+                (R["gen_mu"][0], gmu2),
+                (R["gen_nu"][0], gnu2),
+                (R["disc_mu"][0], dmu2),
+                (R["disc_nu"][0], dnu2),
+            ])
+            g = bufs[I32]
+
+            def sli(r):
+                return jax.lax.slice(g, (r[0],), (r[0] + r[1],))
+
+            new_i = _assemble(pk.sizes[I32], [
+                (Ri["psnr_count"][0], sli(Ri["psnr_count"])),
+                (Ri["gen_count"][0], jnp.reshape(gc2, (1,))),
+                (Ri["disc_count"][0], jnp.reshape(dc2, (1,))),
+                (Ri["step"][0], jnp.reshape(st.step + 1, (1,))),
+            ])
+            return {F32: new_f, I32: new_i}, {
+                "disc_loss": disc_loss_val,
+                "gen_loss": gen_loss_val,
+            }
+
+        self.pretrain_step_packed = donate(packed_pretrain)
+        self.gan_step_packed = donate(packed_gan)
 
     # ------------------------------------------------------- utilities
 
@@ -612,6 +893,10 @@ class GANTrainer:
             self.logger.log(f"Resuming pre-training from epoch {epoch}")
 
         step = 0
+        # The state threads through the epoch loop as packed per-dtype
+        # buffers (see StatePacker) and is unpacked once per epoch for
+        # eval/checkpointing; pack/unpack are one jitted call each.
+        packed = self.pack_state(self.state)
         for epoch in range(epoch, self.pre_epochs + 1):
             self.logger.log("-" * 80)
             self.logger.log(
@@ -627,8 +912,8 @@ class GANTrainer:
                     disable=not self.main_process,
                 )
             ):
-                self.state, loss = self.pretrain_step(
-                    self.state, crops_dev, flips_dev
+                packed, loss = self.pretrain_step_packed(
+                    packed, crops_dev, flips_dev
                 )
                 self.profiler.step()
                 step = (
@@ -645,6 +930,7 @@ class GANTrainer:
                         },
                         step=step,
                     )
+            self.state = self.unpack_state(packed)
             jax.block_until_ready(self.state.gen_params)
             time_taken = max(time.time() - start_time, 1e-9)
             throughput = (
@@ -688,6 +974,8 @@ class GANTrainer:
                 self.logger.log("Initialized GAN phase from PSNR weights")
 
         step = 0
+        # Packed-state epoch loop; see _pretrain for rationale.
+        packed = self.pack_state(self.state)
         for epoch in range(epoch, self.epochs + 1):
             self.logger.log("-" * 80)
             self.logger.log(f"Starting epoch {epoch} out of {self.epochs}")
@@ -710,8 +998,8 @@ class GANTrainer:
                     sub_step * self.batch_size * self.world_size
                     + (self.pre_epochs + epoch - 1) * self.train_len
                 )
-                self.state, metrics = self.gan_step(
-                    self.state, crops_dev, flips_dev, gen_lr, disc_lr,
+                packed, metrics = self.gan_step_packed(
+                    packed, crops_dev, flips_dev, gen_lr, disc_lr,
                     self.vgg_params,
                 )
                 self.profiler.step()
@@ -724,6 +1012,7 @@ class GANTrainer:
                         },
                         step=step,
                     )
+            self.state = self.unpack_state(packed)
             jax.block_until_ready(self.state.gen_params)
             time_taken = max(time.time() - start_time, 1e-9)
             throughput = (
