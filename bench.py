@@ -60,6 +60,25 @@ ESRGAN_CROP = 128
 ESRGAN_STEPS = 16
 
 
+def _stacked_device_batches(trainer, tl, k, n_stacks=2):
+    """Distinct (k, batch, ...) device batch stacks for the multi-step
+    scan programs (cycled during timing so successive calls see
+    different data)."""
+    import numpy as np
+
+    from torchsr_tpu.parallel.mesh import put_stacked_batch
+
+    host = [tuple(b) for b in tl.epoch(0)]
+    stacks = []
+    for s in range(n_stacks):
+        group = [host[(s * k + i) % len(host)] for i in range(k)]
+        stacked = tuple(
+            np.stack([g[j] for g in group]) for j in range(len(group[0]))
+        )
+        stacks.append(put_stacked_batch(stacked, trainer.mesh))
+    return stacks
+
+
 def bench_esrgan_gan() -> None:
     """ESRGAN full adversarial step (the reference's default training
     mode): single fused-Pallas-RDB generator forward with vjp-reused
@@ -89,36 +108,37 @@ def bench_esrgan_gan() -> None:
     trainer = ESRGANTrainer(
         args, tl, el, tl.dataset_len, el.dataset_len, mesh, ctx
     )
-    batches = [trainer._put(c, f) for c, f in tl.epoch(0)]
+    # The multi-step scan program is the production epoch-loop path:
+    # K steps per jitted call amortize this runtime's ~4.5 ms/call
+    # dispatch floor (see trainer._build_steps).
+    k = trainer.steps_per_call
+    stacks = _stacked_device_batches(trainer, tl, k)
 
-    # The packed-state step is the production epoch-loop path: the
-    # per-leaf state tree (3,631 leaves) costs a measured 17.7 ms/call
-    # of argument marshalling on this runtime (train/state.py
-    # StatePacker).
-    packed = trainer.pack_state(trainer.state)
-    crops, flips = batches[0]
-    for _ in range(3):
-        packed, m = trainer.gan_step_packed(
-            packed, crops, flips, 1e-4, 1e-4, trainer.vgg_params
-        )
-    float(m["gen_loss"])  # warmup completion readback
+    packed_state = trainer.state
+    crops_k, flips_k = stacks[0]
+    packed_state, m = trainer.gan_step_multi(
+        packed_state, crops_k, flips_k, 1e-4, 1e-4, trainer.vgg_params
+    )
+    float(m["gen_loss"][-1])  # warmup completion readback
 
     # Two measured phases; keep the second.  The FIRST timing loop in a
     # process reads several-fold slow on this runtime even after
     # readback-terminated warmup (see CLAUDE.md benching rules).
+    calls = max(ESRGAN_STEPS // k, 1)
     for _phase in range(2):
         start = time.perf_counter()
-        for i in range(ESRGAN_STEPS):
-            crops, flips = batches[i % len(batches)]
-            packed, m = trainer.gan_step_packed(
-                packed, crops, flips, 1e-4, 1e-4,
+        for i in range(calls):
+            crops_k, flips_k = stacks[i % len(stacks)]
+            packed_state, m = trainer.gan_step_multi(
+                packed_state, crops_k, flips_k, 1e-4, 1e-4,
                 trainer.vgg_params
             )
-        float(m["gen_loss"])  # chain completion readback
+        float(m["gen_loss"][-1])  # chain completion readback
         elapsed = time.perf_counter() - start
+    steps_run = calls * k
 
     n_chips = len(mesh.devices.ravel())
-    crops_per_sec = ESRGAN_BATCH * ESRGAN_STEPS / elapsed / n_chips
+    crops_per_sec = ESRGAN_BATCH * steps_run / elapsed / n_chips
     print(json.dumps({
         "metric": "esrgan_gan_step_crops_per_sec_per_chip",
         "value": round(crops_per_sec, 2),
@@ -156,28 +176,29 @@ def bench_srgan_gan() -> None:
     trainer = SRGANTrainer(
         args, tl, el, tl.dataset_len, el.dataset_len, mesh, ctx
     )
-    batches = [trainer._put(c, f) for c, f in tl.epoch(0)]
+    # Multi-step scan path (production epoch loop); see bench_esrgan_gan.
+    k = trainer.steps_per_call
+    stacks = _stacked_device_batches(trainer, tl, k)
 
-    # Packed-state path (production epoch loop); see bench_esrgan_gan.
-    packed = trainer.pack_state(trainer.state)
-    crops, flips = batches[0]
-    for _ in range(3):
-        packed, m = trainer.gan_step_packed(
-            packed, crops, flips, 1e-4, 1e-4, trainer.vgg_params
-        )
-    float(m["gen_loss"])  # warmup completion readback
+    state = trainer.state
+    crops_k, flips_k = stacks[0]
+    state, m = trainer.gan_step_multi(
+        state, crops_k, flips_k, 1e-4, 1e-4, trainer.vgg_params
+    )
+    float(m["gen_loss"][-1])  # warmup completion readback
 
-    steps = 16
+    calls = max(16 // k, 1)
     for _phase in range(2):
         start = time.perf_counter()
-        for i in range(steps):
-            crops, flips = batches[i % len(batches)]
-            packed, m = trainer.gan_step_packed(
-                packed, crops, flips, 1e-4, 1e-4,
+        for i in range(calls):
+            crops_k, flips_k = stacks[i % len(stacks)]
+            state, m = trainer.gan_step_multi(
+                state, crops_k, flips_k, 1e-4, 1e-4,
                 trainer.vgg_params
             )
-        float(m["gen_loss"])  # chain completion readback
+        float(m["gen_loss"][-1])  # chain completion readback
         elapsed = time.perf_counter() - start
+    steps = calls * k
 
     n_chips = len(mesh.devices.ravel())
     crops_per_sec = BATCH * steps / elapsed / n_chips
@@ -253,6 +274,7 @@ def bench_tiled_inference() -> None:
 
 def main() -> None:
     import jax
+    import jax.numpy as jnp
 
     from torchsr_tpu.utils.compile_cache import enable_compilation_cache
 
@@ -283,45 +305,50 @@ def main() -> None:
         train_loader.dataset_len, eval_loader.dataset_len, mesh, ctx,
     )
 
-    batches = [
-        trainer._put(crops, flips) for crops, flips in train_loader.epoch(0)
-    ]
+    # Multi-step scan path (production epoch loop): K steps per jitted
+    # call; see trainer._build_steps.
+    k = trainer.steps_per_call
+    stacks = _stacked_device_batches(trainer, train_loader, k)
 
-    # Packed-state path (production epoch loop); see bench_esrgan_gan.
-    packed = trainer.pack_state(trainer.state)
-    for i in range(WARMUP_STEPS):
-        crops, flips = batches[i % len(batches)]
-        packed, loss = trainer.pretrain_step_packed(packed, crops, flips)
+    state = trainer.state
+    for i in range(max(WARMUP_STEPS // k, 1)):
+        crops_k, flips_k = stacks[i % len(stacks)]
+        state, losses = trainer.pretrain_step_multi(
+            state, crops_k, flips_k
+        )
     # A scalar READBACK (not block_until_ready, which async runtimes may
     # satisfy before real execution) guarantees compilation, executable
     # upload, and the warm-up steps have actually run.
-    float(loss)
+    float(losses[-1])
 
     # Chained-dependency timing with a terminal scalar READBACK: each
-    # step consumes the previous step's state (strict sequencing) and
+    # call consumes the previous call's state (strict sequencing) and
     # the final float() cannot return until every step has actually
     # executed.  On tunneled/async runtimes, block_until_ready alone
     # can report completion early; a data readback cannot lie.
     # Two measured phases, keep the second (first-loop slowdown rule).
+    calls = max(MEASURE_STEPS // k, 1)
+    measured_steps = calls * k
     for _phase in range(2):
         start = time.perf_counter()
         loss_acc = None
-        for i in range(MEASURE_STEPS):
-            crops, flips = batches[i % len(batches)]
-            packed, loss = trainer.pretrain_step_packed(
-                packed, crops, flips
+        for i in range(calls):
+            crops_k, flips_k = stacks[i % len(stacks)]
+            state, losses = trainer.pretrain_step_multi(
+                state, crops_k, flips_k
             )
+            loss = jnp.sum(losses)
             loss_acc = loss if loss_acc is None else loss_acc + loss
         final = float(loss_acc)  # forces completion of the whole chain
         elapsed = time.perf_counter() - start
 
-    per_step = elapsed / MEASURE_STEPS
+    per_step = elapsed / measured_steps
     n_chips = len(mesh.devices.ravel())
     crops_per_sec = BATCH / per_step / n_chips
     print(
-        f"bench: {MEASURE_STEPS} chained steps x {BATCH} crops in "
+        f"bench: {measured_steps} chained steps x {BATCH} crops in "
         f"{elapsed:.3f}s -> {per_step * 1000:.2f} ms/step on "
-        f"{n_chips} chip(s); mean loss={final / MEASURE_STEPS:.5f}",
+        f"{n_chips} chip(s); mean loss={final / measured_steps:.5f}",
         file=sys.stderr,
     )
     print(json.dumps({

@@ -72,6 +72,12 @@ def parse_args(argv: list[str] | None = None) -> Namespace:
              "random crops per image per epoch.",
     )
     train.add_argument(
+        "--steps-per-call", type=positive_integer, default=8,
+        help="Training steps fused into one device program per host "
+             "dispatch (lax.scan over a stacked batch axis); amortizes "
+             "per-call dispatch overhead.  1 disables fusion.",
+    )
+    train.add_argument(
         "--shuffle-window", type=int, default=0,
         help="Out-of-core shuffle: visit windows of N images in random "
              "order instead of one global permutation, so datasets "

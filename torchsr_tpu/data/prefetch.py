@@ -15,7 +15,9 @@ import queue
 import threading
 from typing import Iterable, Iterator
 
-from torchsr_tpu.parallel.mesh import put_batch
+import numpy as np
+
+from torchsr_tpu.parallel.mesh import put_batch, put_stacked_batch
 
 _SENTINEL = object()
 
@@ -35,6 +37,52 @@ def prefetch_to_device(
         try:
             for item in iterator:
                 q.put(put_batch(tuple(item), mesh))
+        except BaseException as exc:  # propagate to consumer
+            q.put(exc)
+            return
+        q.put(_SENTINEL)
+
+    thread = threading.Thread(target=producer, daemon=True)
+    thread.start()
+
+    while True:
+        item = q.get()
+        if item is _SENTINEL:
+            break
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
+def prefetch_to_device_stacked(
+    iterator: Iterable, mesh, steps_per_call: int, size: int = 2
+) -> Iterator:
+    """Yield device batches grouped for the multi-step scan programs.
+
+    Full groups of ``steps_per_call`` host batches are stacked on a new
+    leading step axis and transferred once (sharded on the batch axis),
+    yielding ``("multi", stacked_tuple)``; the epoch's ragged tail
+    (fewer than ``steps_per_call`` batches left) is yielded per-batch as
+    ``("single", batch_tuple)`` so the single-step jit handles it — a
+    short tail must NOT trigger a separate trace of the scan program
+    per distinct remainder length.
+    """
+    q: queue.Queue = queue.Queue(maxsize=size)
+
+    def producer() -> None:
+        try:
+            buf: list[tuple] = []
+            for item in iterator:
+                buf.append(tuple(item))
+                if len(buf) == steps_per_call:
+                    stacked = tuple(
+                        np.stack([b[i] for b in buf])
+                        for i in range(len(buf[0]))
+                    )
+                    q.put(("multi", put_stacked_batch(stacked, mesh)))
+                    buf = []
+            for b in buf:
+                q.put(("single", put_batch(b, mesh)))
         except BaseException as exc:  # propagate to consumer
             q.put(exc)
             return

@@ -121,6 +121,29 @@ def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     return NamedSharding(mesh, P(axis))
 
 
+def stacked_batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Sharding for (steps, batch, ...) stacks: axis 0 is the device-side
+    scan dimension (replicated), axis 1 the data-parallel batch."""
+    return NamedSharding(mesh, P(None, axis))
+
+
+def put_stacked_batch(arrays, mesh: Mesh, axis: str = "data"):
+    """Transfer a K-step batch stack, sharded on the batch dim (axis 1).
+
+    Feeds the trainers' multi-step scan programs: K training steps run
+    per jitted call (`lax.scan`), amortizing the per-call dispatch
+    overhead (~4.5 ms through this platform's tunneled runtime — 38% of
+    an SRGAN pretrain step) over K steps.
+    """
+    sharding = stacked_batch_sharding(mesh, axis)
+    if jax.process_count() == 1:
+        return jax.device_put(arrays, sharding)
+    return jax.tree.map(
+        lambda a: jax.make_array_from_process_local_data(sharding, a),
+        arrays,
+    )
+
+
 def put_batch(arrays, mesh: Mesh, axis: str = "data"):
     """Transfer host batch arrays to the mesh, sharded on the batch dim.
 

@@ -56,7 +56,10 @@ from torchsr_tpu.data.preprocess import (
     synthesize_eval_triple,
     synthesize_pair,
 )
-from torchsr_tpu.data.prefetch import prefetch_to_device
+from torchsr_tpu.data.prefetch import (
+    prefetch_to_device,
+    prefetch_to_device_stacked,
+)
 from torchsr_tpu.parallel.mesh import put_batch, replicate
 from torchsr_tpu.train import losses as L
 from torchsr_tpu.train.metrics import mse_per_sample, ssim_per_sample
@@ -403,6 +406,41 @@ class GANTrainer:
         self.eval_step = jax.jit(eval_step)
         self.infer = jax.jit(
             lambda params, stats, x: _gen_apply(params, stats, x, False)[0]
+        )
+
+        # Multi-step scan programs — the production epoch loops.  K
+        # training steps run per jitted call (`lax.scan` over a stacked
+        # batch axis), amortizing the ~4.5 ms/call dispatch floor this
+        # platform's tunnel imposes (measured: one ESRGAN GAN step's
+        # device time is 76.7 ms by in-jit chaining vs 82.5 ms as a
+        # per-call loop; for the 11.9 ms SRGAN pretrain step the
+        # per-call overhead is ~38%).  scan traces the body ONCE, so
+        # compile time stays at single-step cost, unlike an unrolled
+        # chain.  The epoch's ragged tail runs through the single-step
+        # jits (see data/prefetch.py prefetch_to_device_stacked).
+        def pretrain_multi(state, crops_k, flips_k):
+            def body(st, batch):
+                st, loss = pretrain_step(st, batch[0], batch[1])
+                return st, loss
+
+            state, losses = jax.lax.scan(body, state, (crops_k, flips_k))
+            return state, losses
+
+        def gan_multi(state, crops_k, flips_k, gen_lr, disc_lr,
+                      vgg_params):
+            def body(st, batch):
+                st, m = gan_step(
+                    st, batch[0], batch[1], gen_lr, disc_lr, vgg_params
+                )
+                return st, (m["disc_loss"], m["gen_loss"])
+
+            state, (dl, gl) = jax.lax.scan(body, state, (crops_k, flips_k))
+            return state, {"disc_loss": dl, "gen_loss": gl}
+
+        self.pretrain_step_multi = donate(pretrain_multi)
+        self.gan_step_multi = donate(gan_multi)
+        self.steps_per_call = int(
+            getattr(self.args, "steps_per_call", 0) or 8
         )
 
         self._build_packed_steps(
@@ -893,44 +931,64 @@ class GANTrainer:
             self.logger.log(f"Resuming pre-training from epoch {epoch}")
 
         step = 0
-        # The state threads through the epoch loop as packed per-dtype
-        # buffers (see StatePacker) and is unpacked once per epoch for
-        # eval/checkpointing; pack/unpack are one jitted call each.
-        packed = self.pack_state(self.state)
         for epoch in range(epoch, self.pre_epochs + 1):
             self.logger.log("-" * 80)
             self.logger.log(
                 f"Starting epoch {epoch} out of {self.pre_epochs}"
             )
             start_time = time.time()
-            for sub_step, (crops_dev, flips_dev) in enumerate(
-                tqdm(
-                    prefetch_to_device(
-                        self.train_loader.epoch(epoch - 1), self.mesh
-                    ),
-                    total=len(self.train_loader),
-                    disable=not self.main_process,
-                )
+            pbar = tqdm(
+                total=len(self.train_loader),
+                disable=not self.main_process,
+            )
+            done = 0
+            # K steps per jitted call (lax.scan over the stacked batch
+            # axis); the ragged tail goes through the single-step jit.
+            for kind, payload in prefetch_to_device_stacked(
+                self.train_loader.epoch(epoch - 1), self.mesh,
+                self.steps_per_call,
             ):
-                packed, loss = self.pretrain_step_packed(
-                    packed, crops_dev, flips_dev
-                )
-                self.profiler.step()
+                if kind == "multi":
+                    crops_k, flips_k = payload
+                    k = int(crops_k.shape[0])
+                    self.state, losses = self.pretrain_step_multi(
+                        self.state, crops_k, flips_k
+                    )
+                else:
+                    crops_dev, flips_dev = payload
+                    k = 1
+                    self.state, loss = self.pretrain_step(
+                        self.state, crops_dev, flips_dev
+                    )
+                    losses = None
+                for _ in range(k):
+                    self.profiler.step()
+                done += k
+                pbar.update(k)
                 step = (
-                    sub_step * self.batch_size * self.world_size
+                    (done - 1) * self.batch_size * self.world_size
                     + (epoch - 1) * self.train_len
                 )
                 if self.logger.wandb_active:
                     # float() syncs the device — only pay it when wandb
-                    # actually consumes the value.
-                    self.logger.log_wandb(
-                        {
-                            "psnr/train-loss": float(loss),
-                            "psnr/epoch": epoch,
-                        },
-                        step=step,
+                    # actually consumes the values.
+                    per_step = (
+                        [float(x) for x in losses]
+                        if losses is not None else [float(loss)]
                     )
-            self.state = self.unpack_state(packed)
+                    for j, lv in enumerate(per_step):
+                        self.logger.log_wandb(
+                            {
+                                "psnr/train-loss": lv,
+                                "psnr/epoch": epoch,
+                            },
+                            step=(
+                                (done - k + j) * self.batch_size
+                                * self.world_size
+                                + (epoch - 1) * self.train_len
+                            ),
+                        )
+            pbar.close()
             jax.block_until_ready(self.state.gen_params)
             time_taken = max(time.time() - start_time, 1e-9)
             throughput = (
@@ -974,45 +1032,65 @@ class GANTrainer:
                 self.logger.log("Initialized GAN phase from PSNR weights")
 
         step = 0
-        # Packed-state epoch loop; see _pretrain for rationale.
-        packed = self.pack_state(self.state)
         for epoch in range(epoch, self.epochs + 1):
             self.logger.log("-" * 80)
             self.logger.log(f"Starting epoch {epoch} out of {self.epochs}")
             gen_lr = step_lr_schedule(BASE_LR, epoch, self.epochs)
             disc_lr = step_lr_schedule(BASE_LR, epoch, self.epochs)
             start_time = time.time()
-            for sub_step, (crops_dev, flips_dev) in enumerate(
-                tqdm(
-                    prefetch_to_device(
-                        self.train_loader.epoch(
-                            self.pre_epochs + epoch - 1
-                        ),
-                        self.mesh,
-                    ),
-                    total=len(self.train_loader),
-                    disable=not self.main_process,
-                )
+            pbar = tqdm(
+                total=len(self.train_loader),
+                disable=not self.main_process,
+            )
+            done = 0
+            # K steps per jitted call; ragged tail on the single-step
+            # jit (see _pretrain).
+            for kind, payload in prefetch_to_device_stacked(
+                self.train_loader.epoch(self.pre_epochs + epoch - 1),
+                self.mesh, self.steps_per_call,
             ):
+                if kind == "multi":
+                    crops_k, flips_k = payload
+                    k = int(crops_k.shape[0])
+                    self.state, metrics = self.gan_step_multi(
+                        self.state, crops_k, flips_k, gen_lr, disc_lr,
+                        self.vgg_params,
+                    )
+                else:
+                    crops_dev, flips_dev = payload
+                    k = 1
+                    self.state, metrics = self.gan_step(
+                        self.state, crops_dev, flips_dev, gen_lr,
+                        disc_lr, self.vgg_params,
+                    )
+                for _ in range(k):
+                    self.profiler.step()
+                done += k
+                pbar.update(k)
                 step = (
-                    sub_step * self.batch_size * self.world_size
+                    (done - 1) * self.batch_size * self.world_size
                     + (self.pre_epochs + epoch - 1) * self.train_len
                 )
-                packed, metrics = self.gan_step_packed(
-                    packed, crops_dev, flips_dev, gen_lr, disc_lr,
-                    self.vgg_params,
-                )
-                self.profiler.step()
                 if self.logger.wandb_active:
-                    self.logger.log_wandb(
-                        {
-                            "gan/disc-lr": disc_lr,
-                            "gan/gen-lr": gen_lr,
-                            "gan/train-loss": float(metrics["gen_loss"]),
-                        },
-                        step=step,
+                    gl = metrics["gen_loss"]
+                    per_step = (
+                        [float(x) for x in gl] if k > 1 else [float(gl)]
                     )
-            self.state = self.unpack_state(packed)
+                    for j, lv in enumerate(per_step):
+                        self.logger.log_wandb(
+                            {
+                                "gan/disc-lr": disc_lr,
+                                "gan/gen-lr": gen_lr,
+                                "gan/train-loss": lv,
+                            },
+                            step=(
+                                (done - k + j) * self.batch_size
+                                * self.world_size
+                                + (self.pre_epochs + epoch - 1)
+                                * self.train_len
+                            ),
+                        )
+            pbar.close()
             jax.block_until_ready(self.state.gen_params)
             time_taken = max(time.time() - start_time, 1e-9)
             throughput = (
