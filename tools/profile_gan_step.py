@@ -33,8 +33,12 @@ from argparse import Namespace
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=32)
-    ap.add_argument("--crop", type=int, default=128)
+    ap.add_argument("--model", default="esrgan",
+                    choices=["esrgan", "srgan"])
+    ap.add_argument("--batch", type=int, default=0,
+                    help="default: 32 for esrgan, 128 for srgan")
+    ap.add_argument("--crop", type=int, default=0,
+                    help="default: 128 for esrgan, 96 for srgan")
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--n1", type=int, default=1)
     ap.add_argument("--n2", type=int, default=3)
@@ -59,18 +63,22 @@ def main() -> None:
         SyntheticTrainLoader,
     )
     from torchsr_tpu.parallel.mesh import DistributedContext, make_mesh
-    from torchsr_tpu.train.trainer import ESRGANTrainer
+    from torchsr_tpu.train.trainer import ESRGANTrainer, SRGANTrainer
 
+    esr = args.model == "esrgan"
+    args.batch = args.batch or (32 if esr else 128)
+    args.crop = args.crop or (128 if esr else 96)
+    trainer_cls = ESRGANTrainer if esr else SRGANTrainer
     mesh = make_mesh()
     ctx = DistributedContext(1, -1, -1, 1, False)
     targs = Namespace(
         batch_size=args.batch, disable_amp=False, epochs=1,
         pretrain_epochs=1, gan_checkpoint=None, psnr_checkpoint=None,
-        seed=0, skip_image_save=True, model="esrgan",
+        seed=0, skip_image_save=True, model=args.model,
     )
     tl = SyntheticTrainLoader(args.batch, args.crop, n_batches=2)
     el = SyntheticEvalLoader(args.batch, args.crop, n_batches=1)
-    trainer = ESRGANTrainer(
+    trainer = trainer_cls(
         targs, tl, el, tl.dataset_len, el.dataset_len, mesh, ctx
     )
     state = trainer.state
