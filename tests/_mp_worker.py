@@ -70,11 +70,24 @@ def main() -> None:
     )
     state, loss = trainer.pretrain_step(trainer.state, crops_dev, flips_dev)
 
+    # The production multi-step scan path through the multi-process
+    # branch of put_stacked_batch: each process contributes its local
+    # (K, localB, ...) slab of the global (K, B, ...) stack.
+    global_crops2 = rng.integers(0, 256, (2, 8, 32, 32, 3), np.uint8)
+    global_flips2 = rng.random((2, 8, 2)) < 0.5
+    from torchsr_tpu.parallel.mesh import put_stacked_batch
+
+    crops_k, flips_k = put_stacked_batch(
+        (global_crops2[:, lo:lo + 4], global_flips2[:, lo:lo + 4]), mesh
+    )
+    state, losses_k = trainer.pretrain_step_multi(state, crops_k, flips_k)
+
     leaves = jax.tree.leaves(jax.device_get(state.gen_params))
     result = {
         "rank": rank,
         "process_index": int(jax.process_index()),
         "loss": float(loss),
+        "multi_losses": [float(x) for x in losses_k],
         "fingerprint": float(sum(np.abs(l).sum() for l in leaves)),
         "first_leaf": np.asarray(leaves[0], np.float64)
         .ravel()[:8].tolist(),

@@ -100,9 +100,24 @@ def test_two_process_pretrain_step_matches_single_process(tmp_path):
     crops_dev, flips_dev = trainer._put(global_crops, global_flips)
     state, loss = trainer.pretrain_step(trainer.state, crops_dev, flips_dev)
 
+    # Mirror the workers' second phase: a 2-step stacked scan call.
+    from torchsr_tpu.parallel.mesh import put_stacked_batch
+
+    global_crops2 = rng.integers(0, 256, (2, 8, 32, 32, 3), np.uint8)
+    global_flips2 = rng.random((2, 8, 2)) < 0.5
+    crops_k, flips_k = put_stacked_batch(
+        (global_crops2, global_flips2), trainer.mesh
+    )
+    state, losses_k = trainer.pretrain_step_multi(state, crops_k, flips_k)
+
     np.testing.assert_allclose(
         float(loss), results[0]["loss"], rtol=1e-6,
         err_msg="multi-process loss != single-process loss",
+    )
+    np.testing.assert_allclose(
+        [float(x) for x in losses_k], results[0]["multi_losses"],
+        rtol=1e-6,
+        err_msg="multi-process scanned losses != single-process",
     )
     leaves = jax.tree.leaves(jax.device_get(state.gen_params))
     np.testing.assert_allclose(
