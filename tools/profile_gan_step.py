@@ -1,4 +1,4 @@
-"""Component-level profile of the ESRGAN GAN step (run on real TPU).
+"""Component-level profile of the GAN step (run on real TPU).
 
 Decomposes the full adversarial step (train/trainer.py gan_step) into
 its constituent programs and times each with the repo's honest-timing
@@ -7,19 +7,31 @@ cannot reorder or elide), slope method across two chain lengths to
 cancel per-call dispatch, a process-level throwaway phase, and two
 measured phases per program keeping the second.
 
-    python tools/profile_gan_step.py [--batch 32] [--crop 128]
+    python tools/profile_gan_step.py [--model esrgan|srgan]
+        [--components a,b,c]   # default: the slope components
 
-Components:
+Slope components (per-rep device cost):
   gen_fwd        generator forward (train apply, fused Pallas RDB)
   gen_fwd_bwd    generator forward + vjp backward (params cotangent)
   disc_fwd       one discriminator forward (train mode, BN stats)
   dloss_fwd_bwd  disc update loss: 2 disc forwards + backward
   vgg_fwd        one VGG19 relu5_4 forward
   head_fwd_bwd   gen-update head: VGG(sr)+VGG(hr)+D(hr)+D(sr), grad wrt sr
-  full_step      the actual jitted gan_step (cross-check)
+  adam3 / synth  optimizer trio / on-device pair synthesis
 
-The sum of components should roughly reproduce full_step; the gap is
-Adam/synthesis/fusion slack.
+Per-call probes (overhead anatomy; see docs/benchmarks.md):
+  statepass_noop   donated TRUE no-op over the per-leaf state tree
+  packedpass_noop  same through per-dtype flat buffers
+  statepass        donated per-leaf touch (adds ~1 kernel per leaf)
+  packcost         device cost of one unpack->touch->pack round trip
+  step_device      full step chained in-jit (slope) = true device time
+  full_step        the jitted per-leaf gan_step as a per-call loop
+  full_step_packed the packed-native flat-Adam variant
+
+ESRGAN round-3 findings: components sum 63 ms, step_device 76.7,
+full_step 82.5 — marshalling (19.4 ms/call) overlaps compute; the
+14 ms slope-invisible share is per-leaf optimizer/stat kernels and
+scheduling slack.
 """
 
 from __future__ import annotations
