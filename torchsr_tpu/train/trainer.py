@@ -450,30 +450,28 @@ class GANTrainer:
     def _build_packed_steps(
         self, donate, pretrain_core, gan_core, pretrain_step, gan_step
     ) -> None:
-        """Packed-native step variants — the production epoch loops.
+        """Packed-native step variants — a MEASURED NEGATIVE kept
+        in-tree (the production loops use the multi-step scan programs
+        above; full numbers in docs/benchmarks.md "Call-overhead
+        anatomy").
 
-        Two measured costs motivate this path
-        (tools/profile_gan_step.py, v5e via the tunneled runtime):
+        The design: the state crosses the jit boundary as one flat
+        buffer per dtype (per-leaf marshalling of the 3,631-leaf
+        ESRGAN tree costs 19.4 ms/call vs 5.5 packed, by donated
+        no-op probes), the model math runs on unpacked views, and the
+        optimizer runs FLAT — one fused `flat_adam` over each
+        contiguous param/moment region, with the output buffer
+        assembled from ~10 large segments.
 
-        1. Per-leaf argument marshalling: a donated TRUE no-op jit over
-           the raw ESRGAN state tree (3,631 leaves) costs 19.4 ms/call
-           vs 5.5 ms for the same state as per-dtype flat buffers.  In
-           a steady-state loop this overlaps with device compute, but
-           it bounds how far the device time can be seen.
-        2. The optimizer soup: three tree-Adam applications dispatch
-           ~2,000 tiny per-leaf kernels whose launch overhead is most
-           of the ~19 ms gap between the step's component sum (63 ms)
-           and its wall time (82 ms).
-
-        So the packed step does NOT wrap the tree step (a naive
-        unpack->step->repack wrapper measured 89.3 ms vs 83.2 — the
-        2,070-leaf repack concat costs real device time).  Instead the
-        state crosses the boundary as one flat buffer per dtype, the
-        model math runs on unpacked views (slices fuse into the bf16
-        operand casts the forward already performs), and the optimizer
-        runs FLAT: one fused `flat_adam` over each contiguous
-        param/moment region (train/state.py), with the output buffer
-        assembled from a handful of large region segments.
+        Why it loses anyway (isolated, order-swapped A/B): per-leaf
+        step 82.5 ms, naive unpack->step->repack 89.3, this
+        packed-native variant 85.7 — marshalling OVERLAPS device
+        compute in a loop, so the boundary change saves nothing on the
+        critical path, while the per-leaf slice/ravel conversions the
+        flat optimizer needs cost more device time than the tree-Adam
+        kernels they replace.  Kept because the equivalence tests pin
+        it, it documents the experiment, and StatePacker/flat_adam are
+        the starting blocks for any future optimizer-sharding work.
 
         Falls back to naive pack/unpack wrapping if the state layout
         breaks the region assumptions (everything f32/int32, each
