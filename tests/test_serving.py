@@ -1,0 +1,148 @@
+"""StableHLO serving artifacts (infer/serving.py, CLI `export`).
+
+Pins: export -> deserialize -> call reproduces the live generator
+exactly; the artifact drives tiled upscaling of frames larger than the
+export shape; the sidecar metadata matches; and the CLI subcommand
+round-trips from a trained checkpoint.
+"""
+
+import json
+import subprocess
+import sys
+import os
+import pathlib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from torchsr_tpu.infer.serving import (
+    ServedGenerator,
+    export_generator_artifact,
+)
+from torchsr_tpu.models import SRGANGenerator
+
+REPO = str(pathlib.Path(__file__).resolve().parents[1])
+
+
+@pytest.fixture(scope="module")
+def tiny_artifact(tmp_path_factory):
+    root = tmp_path_factory.mktemp("serving")
+    gen = SRGANGenerator(num_residual=2)
+    rng = jax.random.PRNGKey(3)
+    variables = gen.init(rng, jnp.zeros((1, 16, 16, 3)), train=False)
+    path = str(root / "srgan.shlo")
+    export_generator_artifact(
+        path, gen, variables, input_hw=(16, 16), batch=2,
+        scale=4, model="srgan", platforms=("cpu",),
+    )
+    return path, gen, variables
+
+
+def test_artifact_matches_live_generator(tiny_artifact):
+    path, gen, variables = tiny_artifact
+    served = ServedGenerator(path)
+    assert served.input_shape == (2, 16, 16, 3)
+    assert served.scale == 4
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((2, 16, 16, 3)), jnp.float32)
+    out_live = gen.apply(variables, x, train=False)
+    out_served = served(x)
+    assert out_served.shape == (2, 64, 64, 3)
+    np.testing.assert_allclose(
+        np.asarray(out_served), np.asarray(out_live),
+        rtol=1e-5, atol=1e-5,
+    )
+    meta = json.load(open(path + ".json"))
+    assert meta["model"] == "srgan"
+    assert meta["output_shape"] == [2, 64, 64, 3]
+
+
+def test_artifact_drives_tiled_upscale(tiny_artifact):
+    """A 40x56 frame (larger than the 16px export tile) runs through
+    overlap-blend tiling with the artifact as the tile forward, and
+    stays close to the monolithic live forward."""
+    path, gen, variables = tiny_artifact
+    served = ServedGenerator(path)
+    rng = np.random.default_rng(1)
+    img = rng.random((40, 56, 3)).astype(np.float32)
+    out = served.upscale_image(img)
+    assert out.shape == (160, 224, 3)
+    ref = np.asarray(
+        jnp.clip(
+            gen.apply(variables, jnp.asarray(img)[None], train=False)[0],
+            0.0, 1.0,
+        )
+    )
+    # overlap-blend tiling vs monolithic: differs only by boundary
+    # blending.  This config is adversarial for tiling (16 px tiles, a
+    # random-init generator whose receptive field spans the whole
+    # tile), so the gate is structural, not pixel-tight: measured mean
+    # |err| 3.2e-3 here vs production tiles' sub-quantization seams
+    # (docs/benchmarks.md halo table).
+    assert np.mean(np.abs(out - ref)) < 1e-2
+    assert np.max(np.abs(out - ref)) < 0.2
+
+
+def test_exact_shape_frame_single_forward(tmp_path):
+    gen = SRGANGenerator(num_residual=1)
+    variables = gen.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 12, 12, 3)), train=False
+    )
+    path = str(tmp_path / "one.shlo")
+    export_generator_artifact(
+        path, gen, variables, input_hw=(12, 12), batch=1,
+        scale=4, model="srgan", platforms=("cpu",),
+    )
+    served = ServedGenerator(path)
+    img = np.random.default_rng(2).random((12, 12, 3)).astype(np.float32)
+    out = served.upscale_image(img)
+    ref = np.asarray(
+        jnp.clip(
+            gen.apply(variables, jnp.asarray(img)[None], train=False)[0],
+            0.0, 1.0,
+        )
+    )
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_cli_export_roundtrip(image_dir, tmp_path, monkeypatch):
+    """train -> export -> load artifact without the checkpoint, and
+    match the CLI test-path output."""
+    monkeypatch.chdir(tmp_path)
+    env = {
+        **os.environ,
+        "JAX_PLATFORMS": "cpu",
+        "PYTHONPATH": REPO + os.pathsep + os.environ.get(
+            "PYTHONPATH", ""
+        ),
+    }
+    run = subprocess.run(
+        [sys.executable, "-m", "torchsr_tpu", "train",
+         "--train-dir", image_dir, "--batch-size", "8", "--epochs", "1",
+         "--pretrain-epochs", "1", "--model", "srgan",
+         "--crop-size", "32", "--gen-blocks", "1", "--vgg-convs", "2",
+         "--disable-amp", "--skip-image-save"],
+        env=env, capture_output=True, text=True, cwd=str(tmp_path),
+        timeout=900,
+    )
+    assert run.returncode == 0, run.stderr[-3000:]
+    run = subprocess.run(
+        [sys.executable, "-m", "torchsr_tpu", "export",
+         str(tmp_path / "artifact.shlo"), "--model", "srgan",
+         "--tile", "16", "--tile-batch", "2",
+         "--platforms", "cpu"],
+        env=env, capture_output=True, text=True, cwd=str(tmp_path),
+        timeout=600,
+    )
+    assert run.returncode == 0, run.stderr[-3000:]
+    assert "Saved serving artifact" in run.stdout
+
+    served = ServedGenerator(str(tmp_path / "artifact.shlo"))
+    assert served.input_shape == (2, 16, 16, 3)
+    img = np.random.default_rng(3).random((20, 24, 3)).astype(np.float32)
+    out = served.upscale_image(img)
+    assert out.shape == (80, 96, 3)
+    assert np.all(np.isfinite(out))

@@ -225,6 +225,45 @@ def parse_args(argv: list[str] | None = None) -> Namespace:
              "halo exchange (one collective round, fully local compute; "
              "see infer/halo.py). Uses --tile-overlap as the halo.",
     )
+
+    export = commands.add_parser(
+        "export",
+        help="Export a trained generator as a self-contained StableHLO "
+             "serving artifact (weights baked in; loadable without the "
+             "model code — see infer/serving.py).",
+    )
+    export.add_argument(
+        "output", type=str,
+        help="Output artifact path (a JSON sidecar is written next to "
+             "it).",
+    )
+    export.add_argument(
+        "--model", type=str, default=MODEL, choices=MODEL_NAMES,
+        help="Model architecture of the checkpoint.",
+    )
+    export.add_argument(
+        "--checkpoint", type=str,
+        help="Checkpoint path (.ckpt or reference .pth); defaults to "
+             "{model}-gan-best in the working directory.",
+    )
+    export.add_argument(
+        "--tile", type=positive_integer, default=64,
+        help="Input tile size baked into the artifact (serving runs "
+             "fixed shapes; larger frames tile through it).",
+    )
+    export.add_argument(
+        "--tile-batch", type=positive_integer, default=8,
+        help="Tiles per forward baked into the artifact.",
+    )
+    export.add_argument(
+        "--platforms", type=str, default="tpu,cpu",
+        help="Comma-separated lowering targets embedded in the "
+             "artifact.",
+    )
+    export.add_argument(
+        "--seed", type=int, default=0,
+        help="Unused at export; accepted for CLI compatibility.",
+    )
     return parser.parse_args(argv)
 
 
@@ -256,6 +295,14 @@ def main(argv: list[str] | None = None) -> None:
         model_cls = select_test_model(args)
         out = run_test(args, model_cls)
         print(f"Saved super-resolution image to {out}")
+        return
+
+    if args.function == "export":
+        from torchsr_tpu.infer.runner import run_export
+
+        model_cls = select_test_model(args)
+        out = run_export(args, model_cls)
+        print(f"Saved serving artifact to {out}")
         return
 
     from torchsr_tpu.data.loader import initialize_datasets

@@ -1,8 +1,12 @@
-"""Inference: single-shot, tiled, mesh-sharded tiled, and spatially-
-sharded halo-exchange upscaling."""
+"""Inference: single-shot, tiled, mesh-sharded tiled, spatially-
+sharded halo-exchange upscaling, and StableHLO serving artifacts."""
 
 from torchsr_tpu.infer.halo import halo_upscale, make_spatial_mesh
 from torchsr_tpu.infer.multichip import tiled_upscale_sharded
+from torchsr_tpu.infer.serving import (
+    ServedGenerator,
+    export_generator_artifact,
+)
 from torchsr_tpu.infer.tiled import tiled_upscale, upscale_image
 
 __all__ = [
@@ -11,4 +15,6 @@ __all__ = [
     "tiled_upscale_sharded",
     "halo_upscale",
     "make_spatial_mesh",
+    "ServedGenerator",
+    "export_generator_artifact",
 ]

@@ -26,8 +26,9 @@ from torchsr_tpu.utils import image_io
 from torchsr_tpu.utils.checkpoint import find_checkpoint, load_checkpoint
 
 
-def run_test(args: Namespace, generator_cls) -> str:
-    """Upscale ``args.image`` with the best GAN checkpoint; return path."""
+def load_trained_generator(args: Namespace, generator_cls):
+    """Resolve the checkpoint, size the generator to it, and return
+    ``(generator, variables)`` — shared by ``test`` and ``export``."""
     model = args.model.lower()
     ckpt_path = getattr(args, "checkpoint", None) or find_checkpoint(
         f"{model}-gan-best.ckpt"
@@ -51,14 +52,19 @@ def run_test(args: Namespace, generator_cls) -> str:
     else:
         generator = generator_cls(num_residual=num_blocks or 16)
 
+    variables = {"params": params}
+    if batch_stats:
+        variables["batch_stats"] = batch_stats
+    return generator, jax.device_put(variables)
+
+
+def run_test(args: Namespace, generator_cls) -> str:
+    """Upscale ``args.image`` with the best GAN checkpoint; return path."""
     # Params are threaded as a jit ARGUMENT (not a closure capture):
     # captured device arrays compile in as constants, which some
     # runtimes re-materialize per call (measured ~300x slower through
     # a tunneled TPU).
-    variables = {"params": params}
-    if batch_stats:
-        variables["batch_stats"] = batch_stats
-    variables = jax.device_put(variables)
+    generator, variables = load_trained_generator(args, generator_cls)
 
     def infer_fn(v, batch: jnp.ndarray) -> jnp.ndarray:
         return generator.apply(v, batch, train=False)
@@ -89,3 +95,23 @@ def run_test(args: Namespace, generator_cls) -> str:
     out_path = f"upres-{os.path.basename(args.image)}"
     image_io.save_image(np.asarray(sr), out_path)
     return out_path
+
+
+def run_export(args: Namespace, generator_cls) -> str:
+    """The ``export`` subcommand: write a StableHLO serving artifact."""
+    from torchsr_tpu.infer.serving import export_generator_artifact
+
+    generator, variables = load_trained_generator(args, generator_cls)
+    tile = getattr(args, "tile", 64)
+    platforms = tuple(
+        p.strip() for p in getattr(args, "platforms", "tpu,cpu").split(",")
+        if p.strip()
+    )
+    return export_generator_artifact(
+        args.output, generator, variables,
+        input_hw=(tile, tile),
+        batch=getattr(args, "tile_batch", 8),
+        scale=4,
+        model=args.model.lower(),
+        platforms=platforms,
+    )
