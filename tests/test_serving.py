@@ -107,6 +107,32 @@ def test_exact_shape_frame_single_forward(tmp_path):
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
 
 
+def test_esrgan_artifact_matches_live(tmp_path):
+    """ESRGAN exports pin the XLA lowering (fused_rdb=False keeps the
+    artifact pure StableHLO, no Mosaic custom-calls) and still match
+    the live generator."""
+    from torchsr_tpu.models import ESRGANGenerator
+
+    gen = ESRGANGenerator(num_rrdb_blocks=1, fused_rdb=False)
+    variables = gen.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 12, 12, 3)), train=False
+    )
+    path = str(tmp_path / "esrgan.shlo")
+    export_generator_artifact(
+        path, gen, variables, input_hw=(12, 12), batch=1,
+        scale=4, model="esrgan", platforms=("cpu",),
+    )
+    served = ServedGenerator(path)
+    x = jnp.asarray(
+        np.random.default_rng(4).random((1, 12, 12, 3)), jnp.float32
+    )
+    np.testing.assert_allclose(
+        np.asarray(served(x)),
+        np.asarray(gen.apply(variables, x, train=False)),
+        rtol=1e-5, atol=1e-5,
+    )
+
+
 @pytest.mark.slow
 def test_cli_export_roundtrip(image_dir, tmp_path, monkeypatch):
     """train -> export -> load artifact without the checkpoint, and

@@ -26,9 +26,12 @@ from torchsr_tpu.utils import image_io
 from torchsr_tpu.utils.checkpoint import find_checkpoint, load_checkpoint
 
 
-def load_trained_generator(args: Namespace, generator_cls):
+def load_trained_generator(
+    args: Namespace, generator_cls, **generator_kwargs
+):
     """Resolve the checkpoint, size the generator to it, and return
-    ``(generator, variables)`` — shared by ``test`` and ``export``."""
+    ``(generator, variables)`` — shared by ``test`` and ``export``.
+    Extra kwargs flow to the generator constructor."""
     model = args.model.lower()
     ckpt_path = getattr(args, "checkpoint", None) or find_checkpoint(
         f"{model}-gan-best.ckpt"
@@ -48,9 +51,13 @@ def load_trained_generator(args: Namespace, generator_cls):
     # the param tree's block{i} entries).
     num_blocks = len([k for k in params if str(k).startswith("block")])
     if model == "esrgan":
-        generator = generator_cls(num_rrdb_blocks=num_blocks or 23)
+        generator = generator_cls(
+            num_rrdb_blocks=num_blocks or 23, **generator_kwargs
+        )
     else:
-        generator = generator_cls(num_residual=num_blocks or 16)
+        generator = generator_cls(
+            num_residual=num_blocks or 16, **generator_kwargs
+        )
 
     variables = {"params": params}
     if batch_stats:
@@ -101,7 +108,17 @@ def run_export(args: Namespace, generator_cls) -> str:
     """The ``export`` subcommand: write a StableHLO serving artifact."""
     from torchsr_tpu.infer.serving import export_generator_artifact
 
-    generator, variables = load_trained_generator(args, generator_cls)
+    # Serving artifacts stay pure StableHLO: the fused Pallas RDB
+    # kernel would embed Mosaic custom-calls whose serialization is
+    # toolchain-version-bound, so ESRGAN exports pin the XLA lowering
+    # (identical math; the kernel's 1.6x fwd win is a dev-runtime
+    # property the serving fleet can re-derive locally if it wants).
+    kwargs = (
+        {"fused_rdb": False} if args.model.lower() == "esrgan" else {}
+    )
+    generator, variables = load_trained_generator(
+        args, generator_cls, **kwargs
+    )
     tile = getattr(args, "tile", 64)
     platforms = tuple(
         p.strip() for p in getattr(args, "platforms", "tpu,cpu").split(",")
