@@ -5,8 +5,8 @@ headline JSON record ``{"metric": ..., "value": N, "unit": ...,
 "vs_baseline": N}``; earlier JSON lines record the ESRGAN full GAN step
 (the reference's *default* training configuration, constants.py
 MODEL='ESRGAN'), the SRGAN full GAN step, and tiled 1080p->4K inference
-throughput.  All four metrics are gated against regression floors by
-tools/bench_regression.py.
+throughput for BOTH models.  All five metrics are gated against
+regression floors by tools/bench_regression.py.
 
 Configuration: SRGAN, 96x96 HR crops (reference
 models.py CROP_SIZE['srgan']=96), batch 128, bf16 mixed precision,
@@ -272,6 +272,64 @@ def bench_tiled_inference() -> None:
     }))
 
 
+def bench_esrgan_tiled_inference() -> None:
+    """ESRGAN (the reference's default model) tiled 4x inference,
+    1080p -> 4K: tile 64 / overlap 8 / tile-batch 16 — the measured
+    optimum (64px tiles keep the fused Pallas RDB kernel active;
+    larger tile batches measured flat, docs/benchmarks.md)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from torchsr_tpu.infer.tiled import tiled_upscale
+    from torchsr_tpu.models import ESRGANGenerator
+
+    gen = ESRGANGenerator(dtype=jnp.bfloat16)
+    tile = 64
+    x0 = jnp.zeros((1, tile, tile, 3))
+    variables = jax.device_put(
+        gen.init(jax.random.PRNGKey(0), x0, train=False)
+    )
+
+    def infer_fn(v, batch):
+        return gen.apply(v, batch, train=False)
+
+    rng = np.random.default_rng(0)
+    frame = jnp.asarray(rng.random((1080, 1920, 3)).astype(np.float32))
+
+    def run():
+        return tiled_upscale(
+            infer_fn, frame, scale=4, tile=tile, overlap=8,
+            tile_batch=16, params=variables,
+        )
+
+    out = run()
+    float(out.mean())  # compile + warmup completion readback
+    assert out.shape == (4320, 7680, 3)
+
+    frames = 2
+    for _phase in range(2):
+        start = time.perf_counter()
+        for _ in range(frames):
+            out = run()
+        float(out.mean())
+        elapsed = time.perf_counter() - start
+
+    per_frame = elapsed / frames
+    out_mp_per_sec = 4320 * 7680 / 1e6 / per_frame
+    print(json.dumps({
+        "metric": "esrgan_tiled_infer_output_mp_per_sec",
+        "value": round(out_mp_per_sec, 2),
+        "unit": (
+            "4K-output MP/sec (ESRGAN tiled 1080p->4K, tile 64, "
+            "overlap 8, tile-batch 16, bf16, fused Pallas RDB)"
+        ),
+        # V100 fp16 estimate scales the SRGAN inference estimate by
+        # the ESRGAN/SRGAN FLOP ratio (~23x RRDB trunk): ~2 MP/s.
+        "vs_baseline": round(out_mp_per_sec / 2.0, 3),
+    }))
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -287,9 +345,21 @@ def main() -> None:
     from torchsr_tpu.parallel.mesh import DistributedContext, make_mesh
     from torchsr_tpu.train.trainer import SRGANTrainer
 
-    bench_esrgan_gan()
-    bench_srgan_gan()
-    bench_tiled_inference()
+    # Non-headline metrics are non-fatal: the LAST line (the SRGAN
+    # training headline) must print even if a secondary bench hits a
+    # transient tunnel/compile failure.  The regression gate
+    # (tools/bench_regression.py) still fails on any missing metric.
+    for bench in (
+        bench_esrgan_gan,
+        bench_srgan_gan,
+        bench_esrgan_tiled_inference,
+        bench_tiled_inference,
+    ):
+        try:
+            bench()
+        except Exception as exc:  # pragma: no cover - defensive
+            print(f"bench {bench.__name__} failed: {exc!r}",
+                  file=sys.stderr)
 
     mesh = make_mesh()
     ctx = DistributedContext(1, -1, -1, 1, False)
