@@ -107,6 +107,44 @@ def test_exact_shape_frame_single_forward(tmp_path):
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
 
 
+def test_artifact_loads_without_torchsr_tpu(tiny_artifact, tmp_path):
+    """The deployment claim: a serving process needs only jax — no
+    torchsr_tpu, flax model code, or checkpoints.  Run the artifact in
+    a clean subprocess whose PYTHONPATH excludes this repo."""
+    path, gen, variables = tiny_artifact
+    script = tmp_path / "serve.py"
+    script.write_text(
+        "import sys\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "from jax import export\n"
+        "import jax.numpy as jnp\n"
+        "import numpy as np\n"
+        "exp = export.deserialize(open(sys.argv[1], 'rb').read())\n"
+        "x = jnp.asarray(np.full((2, 16, 16, 3), 0.5, np.float32))\n"
+        "out = exp.call(x)\n"
+        "assert out.shape == (2, 64, 64, 3), out.shape\n"
+        "assert bool(jnp.all(jnp.isfinite(out)))\n"
+        "assert 'torchsr_tpu' not in sys.modules\n"
+        "print('SERVED_OK', float(out.mean()))\n"
+    )
+    env = {
+        **{k: v for k, v in os.environ.items() if k != "PYTHONPATH"},
+        "JAX_PLATFORMS": "cpu",
+    }
+    run = subprocess.run(
+        [sys.executable, str(script), path],
+        env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert run.returncode == 0, run.stderr[-3000:]
+    assert "SERVED_OK" in run.stdout
+    # and the value matches the live generator
+    x = jnp.full((2, 16, 16, 3), 0.5, jnp.float32)
+    live = float(gen.apply(variables, x, train=False).mean())
+    served_val = float(run.stdout.split("SERVED_OK")[1].strip())
+    np.testing.assert_allclose(served_val, live, rtol=1e-5)
+
+
 def test_esrgan_artifact_matches_live(tmp_path):
     """ESRGAN exports pin the XLA lowering (fused_rdb=False keeps the
     artifact pure StableHLO, no Mosaic custom-calls) and still match
