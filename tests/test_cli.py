@@ -87,6 +87,17 @@ def test_cli_train_then_test(image_dir, tmp_path, monkeypatch):
     out3 = np.asarray(Image.open("upres-input.png"))
     assert out3.shape == (160, 192, 3)
 
+    # directory-batch mode: every supported image in the directory is
+    # upscaled with the one loaded generator
+    os.makedirs("frames", exist_ok=True)
+    for i, hw in enumerate([(24, 28), (32, 20)]):
+        Image.fromarray(
+            rng.integers(0, 256, (*hw, 3), dtype=np.uint8)
+        ).save(f"frames/f{i}.png")
+    main(["test", "frames", "--model", "srgan"])
+    assert np.asarray(Image.open("upres-f0.png")).shape == (96, 112, 3)
+    assert np.asarray(Image.open("upres-f1.png")).shape == (128, 80, 3)
+
 
 @pytest.mark.slow
 def test_cli_esrgan_pretrain(image_dir, tmp_path, monkeypatch):

@@ -191,7 +191,11 @@ def parse_args(argv: list[str] | None = None) -> Namespace:
              "SRGAN model.",
     )
     test.add_argument(
-        "image", type=str, help="Filename of image to upres."
+        "image", type=str,
+        help="Filename of image to upres — or a directory: every "
+             "supported image in it is upscaled to upres-{name}, "
+             "reusing one loaded generator (and, with --tile, one "
+             "compiled executable) across the batch.",
     )
     test.add_argument(
         "--model", type=str, default=MODEL, choices=MODEL_NAMES,
@@ -294,7 +298,10 @@ def main(argv: list[str] | None = None) -> None:
 
         model_cls = select_test_model(args)
         out = run_test(args, model_cls)
-        print(f"Saved super-resolution image to {out}")
+        if os.path.isdir(args.image):
+            print(f"Saved super-resolution images: {out}")
+        else:
+            print(f"Saved super-resolution image to {out}")
         return
 
     if args.function == "export":
