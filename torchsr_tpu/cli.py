@@ -268,6 +268,39 @@ def parse_args(argv: list[str] | None = None) -> Namespace:
         "--seed", type=int, default=0,
         help="Unused at export; accepted for CLI compatibility.",
     )
+
+    interp = commands.add_parser(
+        "interp",
+        help="Network interpolation (ESRGAN paper sec. 3.4): blend the "
+             "PSNR-pretrained and GAN-finetuned generators into one "
+             "checkpoint for a perception/distortion tradeoff.",
+    )
+    interp.add_argument(
+        "psnr_checkpoint", type=str,
+        help="PSNR-oriented checkpoint (.ckpt or reference .pth), e.g. "
+             "{model}-psnr-best.ckpt.",
+    )
+    interp.add_argument(
+        "gan_checkpoint", type=str,
+        help="GAN-oriented checkpoint (.ckpt or reference .pth), e.g. "
+             "{model}-gan-best.ckpt.",
+    )
+    interp.add_argument(
+        "--alpha", type=float, default=0.8,
+        help="Interpolation weight of the GAN model: (1-alpha)*psnr + "
+             "alpha*gan. 0 = pure PSNR model, 1 = pure GAN model "
+             "(default 0.8, the ESRGAN paper's recommendation).",
+    )
+    interp.add_argument(
+        "--output", "-o", type=str, default=None,
+        help="Output checkpoint path (default "
+             "{model}-interp-{alpha}.ckpt).",
+    )
+    interp.add_argument(
+        "--model", type=str, default=MODEL, choices=MODEL_NAMES,
+        help="Model architecture of the checkpoints (used only when "
+             "converting reference .pth inputs).",
+    )
     return parser.parse_args(argv)
 
 
@@ -289,7 +322,7 @@ def main(argv: list[str] | None = None) -> None:
     args = parse_args(argv)
     _honor_platform_env()
 
-    if args.seed:
+    if getattr(args, "seed", 0):
         random.seed(args.seed)
         np.random.seed(args.seed)
 
@@ -310,6 +343,19 @@ def main(argv: list[str] | None = None) -> None:
         model_cls = select_test_model(args)
         out = run_export(args, model_cls)
         print(f"Saved serving artifact to {out}")
+        return
+
+    if args.function == "interp":
+        from torchsr_tpu.utils.interp import interpolate_checkpoints
+
+        output = args.output or (
+            f"{args.model.lower()}-interp-{args.alpha:g}.ckpt"
+        )
+        out = interpolate_checkpoints(
+            args.psnr_checkpoint, args.gan_checkpoint, args.alpha,
+            output, args.model,
+        )
+        print(f"Saved interpolated checkpoint to {out}")
         return
 
     from torchsr_tpu.data.loader import initialize_datasets
