@@ -200,6 +200,58 @@ def test_fused_module_param_tree_and_forward_match():
     )
 
 
+def test_xla_backward_mode_matches_jax_grad():
+    """TORCHSR_RDB_BWD=xla (hybrid: Pallas forward + XLA-conv backward
+    from the saved feature buffer) produces the same input/kernel/bias
+    gradients as jax.grad of the flax block — and as the Pallas
+    backward kernel."""
+    from torchsr_tpu.ops.pallas import rdb as rdb_mod
+
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.normal(0, 0.5, (2, 6, 9, 64)), jnp.float32)
+    rdb = ResidualDenseBlock()
+    params = rdb.init(jax.random.PRNGKey(9), x)["params"]
+    for i in range(1, 6):
+        params[f"conv{i}"]["conv"]["bias"] = jnp.asarray(
+            rng.normal(0, 0.1, params[f"conv{i}"]["conv"]["bias"].shape),
+            jnp.float32,
+        )
+    ks = tuple(params[f"conv{i}"]["conv"]["kernel"] for i in range(1, 6))
+    bs = tuple(params[f"conv{i}"]["conv"]["bias"] for i in range(1, 6))
+    cot = jnp.asarray(rng.normal(0, 1, x.shape), jnp.float32)
+
+    def fused_loss(x, ks, bs):
+        return jnp.sum(fused_rdb(x, ks, bs, interpret=True) * cot)
+
+    gx_r, gp_r = jax.grad(
+        lambda x, p: jnp.sum(rdb.apply({"params": p}, x) * cot),
+        argnums=(0, 1),
+    )(x, params)
+
+    prev = rdb_mod.BWD_XLA
+    rdb_mod.BWD_XLA = True
+    jax.clear_caches()
+    try:
+        gx, gk, gb = jax.grad(fused_loss, argnums=(0, 1, 2))(x, ks, bs)
+    finally:
+        rdb_mod.BWD_XLA = prev
+        jax.clear_caches()
+
+    np.testing.assert_allclose(
+        np.asarray(gx), np.asarray(gx_r), rtol=1e-4, atol=1e-5
+    )
+    for i in range(5):
+        ref = gp_r[f"conv{i + 1}"]["conv"]
+        np.testing.assert_allclose(
+            np.asarray(gk[i]), np.asarray(ref["kernel"]),
+            rtol=1e-4, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(gb[i]), np.asarray(ref["bias"]),
+            rtol=1e-4, atol=1e-5,
+        )
+
+
 def test_ext_kernel_matches_slot_kernel_and_grads():
     """The extended-row-buffer variant (`_rdb_fwd_kernel_ext`; a
     measured performance negative, default OFF, kept selectable via

@@ -608,6 +608,69 @@ def _rdb_bwd(g2d, feat2d, weights_t, *, height, width, scale, interpret):
     return res[0], tuple(res[1:6]), tuple(res[6:11])
 
 
+# Backward-backend switch: "pallas" runs the fused Pallas backward
+# kernel (_rdb_bwd_kernel); "xla" expresses the SAME backward math in
+# XLA conv primitives from the Pallas forward's saved feature buffer
+# (hybrid: Pallas fwd + XLA bwd).  Rationale: the corrected round-3
+# A/B showed XLA's RDB *backward* is NOT lane-starved (its dx convs
+# have N=C_in in 64-192 territory and its dW contraction reduces over
+# M), so the fused backward kernel only reached parity — the hybrid
+# keeps the 1.6x forward win and lets XLA run the backward it is
+# already good at.  Env-driven, read once at import (the jit caches do
+# not key on it; A/B runs use separate processes, see tools/bench_rdb).
+BWD_XLA = os.environ.get("TORCHSR_RDB_BWD", "pallas") == "xla"
+
+
+def _rdb_bwd_xla(g, feat, kernels, scale):
+    """RDB backward in XLA conv primitives from the saved buffer.
+
+    ``g``: (B, H, W, 64) output cotangent; ``feat``: the Pallas
+    forward's saved post-activation dense feature buffer
+    (B*H*W, 192) — x | y1..y4, the same residual the Pallas backward
+    kernel consumes (the LeakyReLU derivative is recovered from the
+    post-activation sign).  Each conv is reversed with ``jax.vjp`` of a
+    plain ``lax.conv_general_dilated`` at its saved input slice, so XLA
+    emits exactly its native conv-backward lowerings (transposed conv
+    for d-input, an M-reduction contraction for d-weight)."""
+    b, h, w, c = g.shape
+    feat4 = feat.reshape(b, h, w, FEAT)
+    dt = feat4.dtype  # the compute dtype (bf16 under AMP, like the
+    # forward GEMMs and the Pallas backward's operands)
+    g32 = g.astype(jnp.float32)
+    dfeat = jnp.zeros((b, h, w, FEAT), jnp.float32)
+    da = g32 * scale  # d(conv5 pre-bias output); conv5 has no activation
+    dks, dbs = [None] * 5, [None] * 5
+
+    def conv(cat, k):
+        return jax.lax.conv_general_dilated(
+            cat, k, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+    for i in reversed(range(5)):
+        cin = _CIN[i]
+        cat = feat4[..., :cin]
+        _, vjp = jax.vjp(conv, cat, kernels[i].astype(dt))
+        dbs[i] = jnp.sum(da, axis=(0, 1, 2))
+        dcat, dks[i] = vjp(da.astype(dt))
+        dfeat = dfeat.at[..., :cin].add(dcat.astype(jnp.float32))
+        if i > 0:
+            lo = CHANNELS + GROWTH * (i - 1)
+            act = feat4[..., lo:lo + GROWTH]
+            # LeakyReLU'(z) from the post-activation sign; same
+            # convention as the Pallas backward kernel.
+            da = dfeat[..., lo:lo + GROWTH] * (
+                0.2 + 0.8 * (act.astype(jnp.float32) > 0.0).astype(
+                    jnp.float32)
+            )
+
+    dx = (dfeat[..., :CHANNELS] + g32).astype(g.dtype)
+    dks = tuple(
+        dk.astype(kernels[i].dtype) for i, dk in enumerate(dks)
+    )
+    return dx, dks, tuple(dbs)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def _fused_rdb_diff(x, kernels, biases, scale_ratio, interpret):
     # Primal (non-differentiated) path: do NOT emit the feature-buffer
@@ -643,6 +706,8 @@ def _fused_rdb_fwd(x, kernels, biases, scale_ratio, interpret):
 
 def _fused_rdb_bwd(scale_ratio, interpret, residuals, g):
     feat, kernels = residuals
+    if BWD_XLA:
+        return _rdb_bwd_xla(g, feat, kernels, scale_ratio)
     b, h, w, c = g.shape
     dt = feat.dtype
     weights_t = tuple(pack_kernel_t(k).astype(dt) for k in kernels)
