@@ -269,6 +269,60 @@ def parse_args(argv: list[str] | None = None) -> Namespace:
         help="Unused at export; accepted for CLI compatibility.",
     )
 
+    ev = commands.add_parser(
+        "eval",
+        help="Score a trained generator on a directory of HR images "
+             "(the DIV2K-val protocol): exact training-pipeline LR "
+             "synthesis, then per-image PSNR/SSIM vs the ground truth, "
+             "with the naive-bicubic baseline alongside.",
+    )
+    ev.add_argument(
+        "image_dir", type=str,
+        help="Directory of HR ground-truth images to evaluate against.",
+    )
+    ev.add_argument(
+        "--model", type=str, default=MODEL, choices=MODEL_NAMES,
+        help="Model architecture of the checkpoint.",
+    )
+    ev.add_argument(
+        "--checkpoint", type=str,
+        help="Checkpoint path (.ckpt or reference .pth); defaults to "
+             "{model}-gan-best in the working directory.",
+    )
+    ev.add_argument(
+        "--crop", type=positive_integer, default=None,
+        help="Center-crop HR images to NxN before scoring (all shapes "
+             "equal -> one compiled forward; smaller images are "
+             "skipped). Default: full images, cropped to a multiple of "
+             "the 4x scale.",
+    )
+    ev.add_argument(
+        "--tile", type=int, default=0,
+        help="Tile size for tiled overlap-blend inference (0 = "
+             "whole-image forward; use tiling for mixed-size or large "
+             "datasets to reuse one executable).",
+    )
+    ev.add_argument(
+        "--tile-overlap", type=int, default=16,
+        help="Halo overlap between inference tiles, in LR pixels.",
+    )
+    ev.add_argument(
+        "--tile-batch", type=int, default=8,
+        help="Tiles per generator forward during tiled inference.",
+    )
+    ev.add_argument(
+        "--save-sr", action="store_true",
+        help="Also write each super-resolved image as upres-{name}.",
+    )
+    ev.add_argument(
+        "--report", type=str,
+        help="Write the full per-image report as JSON to this path.",
+    )
+    ev.add_argument(
+        "--seed", type=int, default=0,
+        help="Unused at evaluation; accepted for CLI compatibility.",
+    )
+
     interp = commands.add_parser(
         "interp",
         help="Network interpolation (ESRGAN paper sec. 3.4): blend the "
@@ -335,6 +389,13 @@ def main(argv: list[str] | None = None) -> None:
             print(f"Saved super-resolution images: {out}")
         else:
             print(f"Saved super-resolution image to {out}")
+        return
+
+    if args.function == "eval":
+        from torchsr_tpu.infer.evaluate import run_eval
+
+        model_cls = select_test_model(args)
+        run_eval(args, model_cls)
         return
 
     if args.function == "export":

@@ -1,0 +1,165 @@
+"""The ``eval`` subcommand: score a trained generator on HR images.
+
+The reference has no standalone evaluation path — its PSNR eval lives
+inside the training loop (reference srgan/trainer.py:260-343) and its
+``test`` subcommand writes an image without scoring it (test.py:22-63).
+This subcommand runs the standard SR benchmark protocol (the BASELINE.md
+DIV2K-val configs) against any directory of HR images:
+
+    HR  ->  LR via the exact training-pipeline synthesis
+            (PIL-parity quantized bicubic 1/4x, data/preprocess.py)
+        ->  SR = generator(LR)          (whole-image or tiled)
+        ->  per-image PSNR + SSIM vs HR
+
+and reports the naive bicubic 4x re-upscale baseline alongside, so a
+checkpoint's gain over interpolation is visible in one run.  Two PSNR
+aggregates are printed: the mean of per-image PSNRs (how benchmarks are
+usually tabulated) and the reference-parity batch formula
+``10*log10(1/mean_MSE)`` (one log over the pooled MSE — what the
+reference's in-training eval reports, srgan/trainer.py:296).
+
+Images whose sides are not multiples of the scale are cropped (top-left)
+to the nearest multiple, the standard benchmark convention.  With
+``--tile`` every image runs through one fixed-shape executable
+(size-independent compilation); without it each distinct image shape
+compiles its own whole-image forward.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from argparse import Namespace
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from torchsr_tpu.data.discovery import discover_images
+from torchsr_tpu.infer.runner import load_trained_generator
+from torchsr_tpu.infer.tiled import upscale_image
+from torchsr_tpu.ops.resize import bicubic_resize
+from torchsr_tpu.train.metrics import psnr_per_sample, ssim_per_sample
+from torchsr_tpu.utils import image_io
+
+
+def _center_crop(arr: np.ndarray, size: int) -> np.ndarray:
+    h, w = arr.shape[:2]
+    top = max((h - size) // 2, 0)
+    left = max((w - size) // 2, 0)
+    return arr[top:top + size, left:left + size]
+
+
+def _score_pair(sr: np.ndarray, hr: np.ndarray) -> tuple[float, float, float]:
+    """(PSNR dB, SSIM, MSE) of one SR image against its HR ground truth."""
+    sr_b = jnp.asarray(sr, jnp.float32)[None]
+    hr_b = jnp.asarray(hr, jnp.float32)[None]
+    p = float(psnr_per_sample(sr_b, hr_b)[0])
+    s = float(ssim_per_sample(sr_b, hr_b)[0])
+    mse = float(jnp.mean(jnp.square(sr_b - hr_b)))
+    return p, s, mse
+
+
+def run_eval(args: Namespace, generator_cls) -> dict:
+    """Evaluate ``args.image_dir`` and return the report dict."""
+    scale = 4
+    generator, variables = load_trained_generator(args, generator_cls)
+
+    def infer_fn(v, batch: jnp.ndarray) -> jnp.ndarray:
+        return generator.apply(v, batch, train=False)
+
+    infer_jit = jax.jit(infer_fn)
+
+    paths = discover_images(args.image_dir)
+    if not paths:
+        raise ValueError(
+            f"no supported images found in directory {args.image_dir}"
+        )
+
+    crop = getattr(args, "crop", 0) or 0
+    tile = getattr(args, "tile", 0) or 0
+    per_image = []
+    mses, bic_mses = [], []
+    for path in paths:
+        hr_u8 = image_io.load_image(path)
+        if crop:
+            if min(hr_u8.shape[:2]) < crop:
+                print(f"skipping {path}: smaller than --crop {crop}")
+                continue
+            hr_u8 = _center_crop(hr_u8, crop)
+        h = hr_u8.shape[0] // scale * scale
+        w = hr_u8.shape[1] // scale * scale
+        if h < scale or w < scale:
+            print(f"skipping {path}: smaller than the {scale}x scale")
+            continue
+        hr = hr_u8[:h, :w].astype(np.float32) / 255.0
+
+        # The training pipeline's exact LR synthesis: quantized
+        # PIL-parity bicubic, so eval measures the distribution the
+        # model was trained on (reference dataset.py:88-125 semantics).
+        lr = np.asarray(bicubic_resize(
+            jnp.asarray(hr)[None], (h // scale, w // scale),
+            quantize=True,
+        )[0])
+        sr = upscale_image(
+            infer_jit, lr, scale=scale, tile=tile,
+            overlap=getattr(args, "tile_overlap", 16),
+            tile_batch=getattr(args, "tile_batch", 8),
+            params=variables,
+        )
+        bic = np.asarray(bicubic_resize(
+            jnp.asarray(lr)[None], (h, w), quantize=True
+        )[0])
+
+        p, s, mse = _score_pair(sr, hr)
+        bp, bs, bmse = _score_pair(bic, hr)
+        mses.append(mse)
+        bic_mses.append(bmse)
+        per_image.append({
+            "image": os.path.basename(path), "hw": [h, w],
+            "psnr": round(p, 4), "ssim": round(s, 5),
+            "bicubic_psnr": round(bp, 4), "bicubic_ssim": round(bs, 5),
+        })
+        print(
+            f"{os.path.basename(path)} ({h}x{w}): "
+            f"PSNR {p:.2f} dB  SSIM {s:.4f}  "
+            f"(bicubic {bp:.2f} dB / {bs:.4f})"
+        )
+        if getattr(args, "save_sr", False):
+            image_io.save_image(sr, f"upres-{os.path.basename(path)}")
+
+    if not per_image:
+        raise ValueError("no image in the directory was evaluable")
+
+    n = len(per_image)
+    report = {
+        "model": args.model.lower(),
+        "images": n,
+        "mean_psnr": round(sum(r["psnr"] for r in per_image) / n, 4),
+        "mean_ssim": round(sum(r["ssim"] for r in per_image) / n, 5),
+        # The reference's in-training formula: one log10 over the MSE
+        # pooled across everything it saw (srgan/trainer.py:296).
+        "batch_psnr": round(
+            float(10.0 * np.log10(1.0 / max(np.mean(mses), 1e-12))), 4
+        ),
+        "mean_bicubic_psnr": round(
+            sum(r["bicubic_psnr"] for r in per_image) / n, 4
+        ),
+        "mean_bicubic_ssim": round(
+            sum(r["bicubic_ssim"] for r in per_image) / n, 5
+        ),
+        "per_image": per_image,
+    }
+    print(
+        f"\n{n} images: mean PSNR {report['mean_psnr']:.2f} dB  "
+        f"mean SSIM {report['mean_ssim']:.4f}  "
+        f"(batch PSNR {report['batch_psnr']:.2f} dB; bicubic baseline "
+        f"{report['mean_bicubic_psnr']:.2f} dB / "
+        f"{report['mean_bicubic_ssim']:.4f})"
+    )
+    report_path = getattr(args, "report", None)
+    if report_path:
+        with open(report_path, "w") as fh:
+            json.dump(report, fh, indent=2)
+        print(f"Wrote report to {report_path}")
+    return report
