@@ -59,6 +59,8 @@ def test_eval_cli_end_to_end(tmp_path, monkeypatch):
     Image.fromarray(_structured(rng, 40, 48)).save("val/a.png")
     Image.fromarray(_structured(rng, 38, 45)).save("val/b.png")
     Image.fromarray(_structured(rng, 3, 3)).save("val/tiny.png")
+    # crops to 8x8 (a x4 multiple) but is below the 11x11 SSIM window
+    Image.fromarray(_structured(rng, 10, 10)).save("val/small.png")
     _tiny_srgan_checkpoint()
 
     main([

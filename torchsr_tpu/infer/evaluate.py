@@ -89,8 +89,10 @@ def run_eval(args: Namespace, generator_cls) -> dict:
             hr_u8 = _center_crop(hr_u8, crop)
         h = hr_u8.shape[0] // scale * scale
         w = hr_u8.shape[1] // scale * scale
-        if h < scale or w < scale:
-            print(f"skipping {path}: smaller than the {scale}x scale")
+        if h < 11 or w < 11:
+            # below the 11x11 SSIM window (and too small for the
+            # benchmark protocol to mean anything)
+            print(f"skipping {path}: smaller than the SSIM window")
             continue
         hr = hr_u8[:h, :w].astype(np.float32) / 255.0
 
