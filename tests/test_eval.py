@@ -106,6 +106,15 @@ def test_eval_crop_mode_single_shape(tmp_path, monkeypatch):
     assert all(tuple(r["hw"]) == (32, 32) for r in report["per_image"])
 
 
+def test_negative_tile_rejected():
+    with pytest.raises(SystemExit):
+        parse_args(["eval", "valdir", "--tile", "-4"])
+    with pytest.raises(SystemExit):
+        parse_args(["test", "x.png", "--tile", "-4"])
+    with pytest.raises(SystemExit):
+        parse_args(["test", "x.png", "--tile-batch", "0"])
+
+
 def test_eval_empty_dir_raises(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     os.makedirs("val")

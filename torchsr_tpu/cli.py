@@ -47,6 +47,17 @@ def positive_integer(value: str) -> int:
     return int_value
 
 
+def nonnegative_integer(value: str) -> int:
+    """Argparse type: int >= 0 (tile sizes/overlaps, where 0 disables)."""
+    try:
+        int_value = int(value)
+    except (TypeError, ValueError):
+        raise ArgumentTypeError(f"invalid int value: '{value}'")
+    if int_value < 0:
+        raise ArgumentTypeError("value must be a non-negative integer!")
+    return int_value
+
+
 def parse_args(argv: list[str] | None = None) -> Namespace:
     parser = ArgumentParser(f"torchSR-TPU Version: {VERSION}")
     commands = parser.add_subparsers(
@@ -211,16 +222,16 @@ def parse_args(argv: list[str] | None = None) -> Namespace:
              "defaults to {model}-gan-best in the working directory.",
     )
     test.add_argument(
-        "--tile", type=int, default=0,
+        "--tile", type=nonnegative_integer, default=0,
         help="Tile size for tiled overlap-blend inference (0 = one "
              "whole-image forward like the reference).",
     )
     test.add_argument(
-        "--tile-overlap", type=int, default=16,
+        "--tile-overlap", type=nonnegative_integer, default=16,
         help="Halo overlap between inference tiles, in LR pixels.",
     )
     test.add_argument(
-        "--tile-batch", type=int, default=8,
+        "--tile-batch", type=positive_integer, default=8,
         help="Tiles per generator forward during tiled inference.",
     )
     test.add_argument(
@@ -297,17 +308,17 @@ def parse_args(argv: list[str] | None = None) -> Namespace:
              "the 4x scale.",
     )
     ev.add_argument(
-        "--tile", type=int, default=0,
+        "--tile", type=nonnegative_integer, default=0,
         help="Tile size for tiled overlap-blend inference (0 = "
              "whole-image forward; use tiling for mixed-size or large "
              "datasets to reuse one executable).",
     )
     ev.add_argument(
-        "--tile-overlap", type=int, default=16,
+        "--tile-overlap", type=nonnegative_integer, default=16,
         help="Halo overlap between inference tiles, in LR pixels.",
     )
     ev.add_argument(
-        "--tile-batch", type=int, default=8,
+        "--tile-batch", type=positive_integer, default=8,
         help="Tiles per generator forward during tiled inference.",
     )
     ev.add_argument(

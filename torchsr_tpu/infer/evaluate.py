@@ -39,7 +39,7 @@ from torchsr_tpu.data.discovery import discover_images
 from torchsr_tpu.infer.runner import load_trained_generator
 from torchsr_tpu.infer.tiled import upscale_image
 from torchsr_tpu.ops.resize import bicubic_resize
-from torchsr_tpu.train.metrics import psnr_per_sample, ssim_per_sample
+from torchsr_tpu.train.metrics import mse_per_sample, ssim_per_sample
 from torchsr_tpu.utils import image_io
 
 
@@ -54,9 +54,9 @@ def _score_pair(sr: np.ndarray, hr: np.ndarray) -> tuple[float, float, float]:
     """(PSNR dB, SSIM, MSE) of one SR image against its HR ground truth."""
     sr_b = jnp.asarray(sr, jnp.float32)[None]
     hr_b = jnp.asarray(hr, jnp.float32)[None]
-    p = float(psnr_per_sample(sr_b, hr_b)[0])
+    mse = float(mse_per_sample(sr_b, hr_b)[0])
+    p = float(10.0 * np.log10(1.0 / max(mse, 1e-12)))
     s = float(ssim_per_sample(sr_b, hr_b)[0])
-    mse = float(jnp.mean(jnp.square(sr_b - hr_b)))
     return p, s, mse
 
 
@@ -79,7 +79,8 @@ def run_eval(args: Namespace, generator_cls) -> dict:
     crop = getattr(args, "crop", 0) or 0
     tile = getattr(args, "tile", 0) or 0
     per_image = []
-    mses, bic_mses = [], []
+    mse_px_sum = 0.0  # sum of per-image MSE * pixel count
+    px_sum = 0
     for path in paths:
         hr_u8 = image_io.load_image(path)
         if crop:
@@ -114,9 +115,9 @@ def run_eval(args: Namespace, generator_cls) -> dict:
         )[0])
 
         p, s, mse = _score_pair(sr, hr)
-        bp, bs, bmse = _score_pair(bic, hr)
-        mses.append(mse)
-        bic_mses.append(bmse)
+        bp, bs, _ = _score_pair(bic, hr)
+        mse_px_sum += mse * h * w
+        px_sum += h * w
         per_image.append({
             "image": os.path.basename(path), "hw": [h, w],
             "psnr": round(p, 4), "ssim": round(s, 5),
@@ -140,9 +141,13 @@ def run_eval(args: Namespace, generator_cls) -> dict:
         "mean_psnr": round(sum(r["psnr"] for r in per_image) / n, 4),
         "mean_ssim": round(sum(r["ssim"] for r in per_image) / n, 5),
         # The reference's in-training formula: one log10 over the MSE
-        # pooled across everything it saw (srgan/trainer.py:296).
+        # pooled across every pixel it saw (srgan/trainer.py:296) —
+        # per-image MSEs are pixel-count weighted so mixed-size
+        # directories pool correctly.
         "batch_psnr": round(
-            float(10.0 * np.log10(1.0 / max(np.mean(mses), 1e-12))), 4
+            float(10.0 * np.log10(
+                1.0 / max(mse_px_sum / max(px_sum, 1), 1e-12)
+            )), 4
         ),
         "mean_bicubic_psnr": round(
             sum(r["bicubic_psnr"] for r in per_image) / n, 4

@@ -628,10 +628,14 @@ def _rdb_bwd_xla(g, feat, kernels, scale):
     forward's saved post-activation dense feature buffer
     (B*H*W, 192) — x | y1..y4, the same residual the Pallas backward
     kernel consumes (the LeakyReLU derivative is recovered from the
-    post-activation sign).  Each conv is reversed with ``jax.vjp`` of a
-    plain ``lax.conv_general_dilated`` at its saved input slice, so XLA
-    emits exactly its native conv-backward lowerings (transposed conv
-    for d-input, an M-reduction contraction for d-weight)."""
+    post-activation sign).  Each conv is reversed in XLA's native
+    backward lowerings: d-input via ``jax.vjp`` of a plain
+    ``lax.conv_general_dilated`` at its saved input slice (bf16
+    operands under AMP, like the forward GEMMs), and d-weight via an
+    explicit batch-contracted conv with ``preferred_element_type=f32``
+    so weight gradients accumulate in f32 like the Pallas backward's
+    (a bf16 vjp would round each dW — a B*H*W-term reduction — through
+    bf16)."""
     b, h, w, c = g.shape
     feat4 = feat.reshape(b, h, w, FEAT)
     dt = feat4.dtype  # the compute dtype (bf16 under AMP, like the
@@ -650,9 +654,19 @@ def _rdb_bwd_xla(g, feat, kernels, scale):
     for i in reversed(range(5)):
         cin = _CIN[i]
         cat = feat4[..., :cin]
-        _, vjp = jax.vjp(conv, cat, kernels[i].astype(dt))
+        k = kernels[i].astype(dt)
+        dy = da.astype(dt)
         dbs[i] = jnp.sum(da, axis=(0, 1, 2))
-        dcat, dks[i] = vjp(da.astype(dt))
+        _, vjp = jax.vjp(lambda c: conv(c, k), cat)
+        (dcat,) = vjp(dy)
+        # dW as a batch-contracted conv (lhs batch<->feature roles
+        # swapped; output (kh, kw, Ci, Co)): bf16 operands, f32
+        # accumulation.
+        dks[i] = jax.lax.conv_general_dilated(
+            cat, dy, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("CHWN", "IHWO", "HWNC"),
+            preferred_element_type=jnp.float32,
+        )
         dfeat = dfeat.at[..., :cin].add(dcat.astype(jnp.float32))
         if i > 0:
             lo = CHANNELS + GROWTH * (i - 1)
