@@ -110,6 +110,35 @@ def test_initialize_datasets_api(image_dir):
     assert isinstance(eval_loader, EvalLoader)
 
 
+def test_initialize_datasets_separate_eval_dir(image_dir, tmp_path):
+    """--eval-dir layout (DIV2K_train + DIV2K_valid): training uses ALL
+    of the train directory (no 10% holdout) and eval uses ALL of the
+    eval directory."""
+    from PIL import Image
+
+    eval_dir = tmp_path / "valid"
+    eval_dir.mkdir()
+    rng = np.random.default_rng(1)
+    for i in range(3):
+        Image.fromarray(
+            rng.integers(0, 256, size=(48, 48, 3), dtype=np.uint8)
+        ).save(eval_dir / f"v{i}.png")
+
+    train_loader, eval_loader, train_len, test_len = initialize_datasets(
+        image_dir, batch_size=2, crop_size=32, workers=1,
+        eval_directory=str(eval_dir),
+    )
+    assert train_len == 12  # all 12 train images, no holdout
+    assert test_len == 3
+
+    (tmp_path / "empty").mkdir()
+    with pytest.raises(ValueError, match="no supported images"):
+        initialize_datasets(
+            image_dir, batch_size=2, crop_size=32, workers=1,
+            eval_directory=str(tmp_path / "empty"),
+        )
+
+
 def test_lru_cache_evicts_and_returns_correct_data(image_dir):
     """The decode cache is LRU-bounded: with a budget under the working
     set it evicts the least-recently-used image and keeps serving

@@ -154,6 +154,13 @@ def parse_args(argv: list[str] | None = None) -> Namespace:
              f"Default: {TRAIN_DIR}.",
     )
     train.add_argument(
+        "--eval-dir", type=str,
+        help="Validate on ALL images in this directory (e.g. "
+             "DIV2K_valid next to DIV2K_train) instead of holding out "
+             "10%% of --train-dir; training then uses the full train "
+             "directory.",
+    )
+    train.add_argument(
         "--vgg-weights", type=str,
         help="Path to a torchvision VGG19 .pth file for the perceptual "
              "loss (converted automatically). Without it a deterministic "
@@ -454,6 +461,7 @@ def main(argv: list[str] | None = None) -> None:
         shard_index=jax.process_index(),
         seed=args.seed,
         shuffle_window=getattr(args, "shuffle_window", 0),
+        eval_directory=getattr(args, "eval_dir", None),
     )
     trainer = trainer_cls(
         args, train_loader, test_loader, train_len, test_len,

@@ -306,18 +306,32 @@ def initialize_datasets(
     seed: int = 0,
     shuffle_window: int = 0,
     cache_bytes: int | None = None,
+    eval_directory: str | None = None,
 ) -> tuple[TrainLoader, EvalLoader, int, int]:
     """Discover, split 90/10, and build loaders.
 
     API parity with the reference's ``initialize_datasets``
     (dataset.py:364-428): returns
     (train_loader, test_loader, train_len, test_len).
+
+    ``eval_directory``: when given (e.g. DIV2K_valid alongside
+    DIV2K_train — the standard benchmark layout), validation uses ALL
+    of it and training uses ALL of ``train_directory`` instead of the
+    reference's 90/10 split of one directory.
     """
     from torchsr_tpu.data.discovery import discover_images, split_dataset
 
     del upscale_factor  # synthesis happens on device; scale passed there
     images = discover_images(train_directory)
-    train_paths, test_paths = split_dataset(images, 0.1, seed)
+    if eval_directory:
+        train_paths = images
+        test_paths = discover_images(eval_directory)
+        if not test_paths:
+            raise ValueError(
+                f"no supported images found in eval dir {eval_directory}"
+            )
+    else:
+        train_paths, test_paths = split_dataset(images, 0.1, seed)
     extra = {} if cache_bytes is None else {"cache_bytes": cache_bytes}
     train_loader = TrainLoader(
         train_paths, batch_size, crop_size,
