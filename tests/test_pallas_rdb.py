@@ -252,6 +252,57 @@ def test_xla_backward_mode_matches_jax_grad():
         )
 
 
+def test_xla_backward_matches_pallas_backward_bf16():
+    """In the AMP dtype the two backward backends must agree to within
+    bf16 operand rounding (both accumulate dW/db/dfeat in f32; the
+    cotangents round through bf16 in both).  Pins that flipping
+    TORCHSR_RDB_BWD does not change training numerics beyond dtype
+    noise."""
+    from torchsr_tpu.ops.pallas import rdb as rdb_mod
+
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.normal(0, 0.5, (2, 6, 8, 64)), jnp.bfloat16)
+    ks = tuple(
+        jnp.asarray(
+            rng.normal(0, 0.05, (3, 3, rdb_mod._CIN[i], rdb_mod._COUT[i])),
+            jnp.float32,
+        )
+        for i in range(5)
+    )
+    bs = tuple(
+        jnp.asarray(rng.normal(0, 0.05, (rdb_mod._COUT[i],)), jnp.float32)
+        for i in range(5)
+    )
+    cot = jnp.asarray(rng.normal(0, 1, x.shape), jnp.float32)
+
+    def grads():
+        return jax.grad(
+            lambda x, ks, bs: jnp.sum(
+                fused_rdb(x, ks, bs, interpret=True).astype(jnp.float32)
+                * cot
+            ),
+            argnums=(0, 1, 2),
+        )(x, ks, bs)
+
+    prev = rdb_mod.BWD_XLA
+    try:
+        rdb_mod.BWD_XLA = True
+        jax.clear_caches()
+        gh = grads()
+        rdb_mod.BWD_XLA = False
+        jax.clear_caches()
+        gp = grads()
+    finally:
+        rdb_mod.BWD_XLA = prev
+        jax.clear_caches()
+
+    for a, b in zip(jax.tree.leaves(gh), jax.tree.leaves(gp)):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        rel = np.max(np.abs(a - b)) / (np.max(np.abs(b)) + 1e-9)
+        assert rel < 0.02, rel
+
+
 def test_ext_kernel_matches_slot_kernel_and_grads():
     """The extended-row-buffer variant (`_rdb_fwd_kernel_ext`; a
     measured performance negative, default OFF, kept selectable via
