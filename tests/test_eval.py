@@ -106,6 +106,30 @@ def test_eval_crop_mode_single_shape(tmp_path, monkeypatch):
     assert all(tuple(r["hw"]) == (32, 32) for r in report["per_image"])
 
 
+@pytest.mark.slow
+def test_eval_serving_artifact(tmp_path, monkeypatch):
+    """--artifact scores the exact StableHLO serving artifact a fleet
+    would run (tiled through the artifact's fixed shape)."""
+    monkeypatch.chdir(tmp_path)
+    rng = np.random.default_rng(13)
+    os.makedirs("val")
+    Image.fromarray(_structured(rng, 40, 48)).save("val/a.png")
+    _tiny_srgan_checkpoint()
+    main([
+        "export", "m.shlo", "--model", "srgan",
+        "--tile", "8", "--tile-batch", "2", "--platforms", "cpu",
+    ])
+    main([
+        "eval", "val", "--model", "srgan", "--artifact", "m.shlo",
+        "--report", "report.json",
+    ])
+    with open("report.json") as fh:
+        report = json.load(fh)
+    assert report["images"] == 1
+    assert np.isfinite(report["mean_psnr"])
+    assert -1.0 <= report["mean_ssim"] <= 1.0
+
+
 def test_negative_tile_rejected():
     with pytest.raises(SystemExit):
         parse_args(["eval", "valdir", "--tile", "-4"])

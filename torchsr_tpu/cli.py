@@ -308,6 +308,12 @@ def parse_args(argv: list[str] | None = None) -> Namespace:
              "{model}-gan-best in the working directory.",
     )
     ev.add_argument(
+        "--artifact", type=str,
+        help="Score a StableHLO serving artifact (torchsr export) "
+             "instead of a checkpoint — validates the exact bytes a "
+             "serving fleet runs. Overrides --checkpoint/--tile.",
+    )
+    ev.add_argument(
         "--crop", type=positive_integer, default=None,
         help="Center-crop HR images to NxN before scoring (all shapes "
              "equal -> one compiled forward; smaller images are "

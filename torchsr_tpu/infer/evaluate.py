@@ -61,14 +61,41 @@ def _score_pair(sr: np.ndarray, hr: np.ndarray) -> tuple[float, float, float]:
 
 
 def run_eval(args: Namespace, generator_cls) -> dict:
-    """Evaluate ``args.image_dir`` and return the report dict."""
+    """Evaluate ``args.image_dir`` and return the report dict.
+
+    With ``--artifact`` the scoring runs through a StableHLO serving
+    artifact (infer/serving.py) instead of a checkpoint — validating
+    the exact bytes a serving fleet would run."""
     scale = 4
-    generator, variables = load_trained_generator(args, generator_cls)
+    artifact = getattr(args, "artifact", None)
+    if artifact:
+        from torchsr_tpu.infer.serving import ServedGenerator
 
-    def infer_fn(v, batch: jnp.ndarray) -> jnp.ndarray:
-        return generator.apply(v, batch, train=False)
+        served = ServedGenerator(artifact)
+        scale = served.scale or 4
 
-    infer_jit = jax.jit(infer_fn)
+        def upscale(lr: np.ndarray) -> np.ndarray:
+            return np.asarray(jnp.clip(
+                served.upscale_image(
+                    lr, overlap=getattr(args, "tile_overlap", 16)
+                ), 0.0, 1.0,
+            ))
+    else:
+        generator, variables = load_trained_generator(args, generator_cls)
+
+        def infer_fn(v, batch: jnp.ndarray) -> jnp.ndarray:
+            return generator.apply(v, batch, train=False)
+
+        infer_jit = jax.jit(infer_fn)
+
+        def upscale(lr: np.ndarray) -> np.ndarray:
+            return upscale_image(
+                infer_jit, lr, scale=scale,
+                tile=getattr(args, "tile", 0) or 0,
+                overlap=getattr(args, "tile_overlap", 16),
+                tile_batch=getattr(args, "tile_batch", 8),
+                params=variables,
+            )
 
     paths = discover_images(args.image_dir)
     if not paths:
@@ -77,7 +104,6 @@ def run_eval(args: Namespace, generator_cls) -> dict:
         )
 
     crop = getattr(args, "crop", 0) or 0
-    tile = getattr(args, "tile", 0) or 0
     per_image = []
     mse_px_sum = 0.0  # sum of per-image MSE * pixel count
     px_sum = 0
@@ -104,12 +130,7 @@ def run_eval(args: Namespace, generator_cls) -> dict:
             jnp.asarray(hr)[None], (h // scale, w // scale),
             quantize=True,
         )[0])
-        sr = upscale_image(
-            infer_jit, lr, scale=scale, tile=tile,
-            overlap=getattr(args, "tile_overlap", 16),
-            tile_batch=getattr(args, "tile_batch", 8),
-            params=variables,
-        )
+        sr = upscale(lr)
         bic = np.asarray(bicubic_resize(
             jnp.asarray(lr)[None], (h, w), quantize=True
         )[0])

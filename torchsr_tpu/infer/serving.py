@@ -154,6 +154,9 @@ class ServedGenerator:
                 )
             if overlap is None:
                 overlap = min(16, max(th // 4, 1))
+            # clamp explicit values too: the tiling stride is
+            # tile - overlap and must stay positive
+            overlap = min(overlap, th - 1)
             out = tiled_upscale(
                 self, x, scale=scale, tile=th, overlap=overlap,
                 tile_batch=b,
