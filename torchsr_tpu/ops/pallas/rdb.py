@@ -611,13 +611,14 @@ def _rdb_bwd(g2d, feat2d, weights_t, *, height, width, scale, interpret):
 # Backward-backend switch: "pallas" runs the fused Pallas backward
 # kernel (_rdb_bwd_kernel); "xla" expresses the SAME backward math in
 # XLA conv primitives from the Pallas forward's saved feature buffer
-# (hybrid: Pallas fwd + XLA bwd).  Rationale: the corrected round-3
-# A/B showed XLA's RDB *backward* is NOT lane-starved (its dx convs
-# have N=C_in in 64-192 territory and its dW contraction reduces over
-# M), so the fused backward kernel only reached parity — the hybrid
-# keeps the 1.6x forward win and lets XLA run the backward it is
-# already good at.  Env-driven, read once at import (the jit caches do
-# not key on it; A/B runs use separate processes, see tools/bench_rdb).
+# (hybrid: Pallas fwd + XLA bwd).  Round-3 on-TPU A/B REJECTED the
+# hybrid: fwd+bwd 521.6 us/RDB vs 356.1 for the pure Pallas backward
+# (pure XLA 384.1) — standalone conv_general_dilated dW/dx calls lose
+# the fusion context XLA builds around its own forward, and the
+# saved-buffer slicing adds relayout traffic (docs/roadmap.md).  The
+# default stays "pallas"; this knob remains a gradient-debugging
+# backend.  Env-driven, read once at import (the jit caches do not
+# key on it; A/B runs use separate processes, see tools/bench_rdb).
 BWD_XLA = os.environ.get("TORCHSR_RDB_BWD", "pallas") == "xla"
 
 
