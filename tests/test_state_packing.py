@@ -115,6 +115,87 @@ def test_flat_adam_matches_optax():
     )
 
 
+def test_grouped_adam_matches_optax():
+    """`grouped_apply_updates` (same-shape leaves stacked for the
+    update math) reproduces per-leaf `apply_updates` step-for-step on a
+    tree with repeated shapes, singletons, and nesting — including the
+    optax state structure (count/mu/nu)."""
+    from torchsr_tpu.train.state import (
+        apply_updates,
+        grouped_apply_updates,
+        make_adam,
+    )
+
+    rng = np.random.default_rng(7)
+
+    def tree_like(scale):
+        return {
+            "blocks": [
+                {"kernel": jnp.asarray(rng.normal(0, scale, (3, 3, 4, 2)),
+                                       jnp.float32),
+                 "bias": jnp.asarray(rng.normal(0, scale, (2,)),
+                                     jnp.float32)}
+                for _ in range(5)
+            ],
+            "head": jnp.asarray(rng.normal(0, scale, (7, 3)), jnp.float32),
+            "scalarish": jnp.asarray(rng.normal(0, scale, (2,)),
+                                     jnp.float32),
+        }
+
+    params = tree_like(0.1)
+    opt = make_adam()
+    st_tree = opt.init(params)
+    st_grp = opt.init(params)
+    p_tree = params
+    p_grp = params
+    for step in range(4):
+        g = tree_like(10.0 ** -step)
+        lr = 1e-4 * (0.6 ** step)
+        p_tree, st_tree = apply_updates(p_tree, g, st_tree, opt, lr)
+        p_grp, st_grp = grouped_apply_updates(p_grp, g, st_grp, lr)
+        for a, b in zip(jax.tree.leaves(p_tree), jax.tree.leaves(p_grp)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-9
+            )
+    np.testing.assert_array_equal(
+        np.asarray(st_grp[0].count), np.asarray(st_tree[0].count)
+    )
+    for a, b in zip(
+        jax.tree.leaves(st_tree[0].mu), jax.tree.leaves(st_grp[0].mu)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=0)
+    for a, b in zip(
+        jax.tree.leaves(st_tree[0].nu), jax.tree.leaves(st_grp[0].nu)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=0)
+
+
+def test_grouped_adam_trainer_step_equivalence(image_dir, monkeypatch):
+    """A full pretrain step with the grouped optimizer schedule
+    (TORCHSR_ADAM=grouped) produces the same updated state as the
+    per-leaf tree optimizer (CPU, tiny model).  The flag is read at
+    trace time, so patching the module global before the first step
+    call selects the implementation."""
+    import torchsr_tpu.train.trainer as trainer_mod
+
+    def run_step(grouped):
+        monkeypatch.setattr(trainer_mod, "_ADAM_GROUPED", grouped)
+        tr = _tiny_trainer(image_dir, "srgan")
+        crops, flips = tr._put(*next(iter(tr.train_loader.epoch(0))))
+        state, loss = tr.pretrain_step(tr.state, crops, flips)
+        return jax.tree.leaves(state.gen_params), float(loss)
+
+    leaves_t, loss_t = run_step(False)
+    leaves_g, loss_g = run_step(True)
+    assert loss_t == pytest.approx(loss_g, rel=1e-6)
+    for a, b in zip(leaves_t, leaves_g):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-8
+        )
+
+
 def _tiny_trainer(image_dir, model):
     from torchsr_tpu.registry import select_trainer_model
 

@@ -224,6 +224,72 @@ def flat_adam(params, grads, mu, nu, count, lr,
     return new_params, mu, nu, count_inc
 
 
+def grouped_apply_updates(params, grads, opt_state, lr,
+                          b1: float = 0.9, b2: float = 0.999,
+                          eps: float = 1e-8):
+    """``apply_updates`` with same-shape leaves STACKED for the math.
+
+    The per-leaf tree Adam dispatches ~2 tiny kernels per tensor; on the
+    ESRGAN state (345 conv kernel/bias pairs x three trees) that is
+    ~2,000 kernel launches sitting on the critical path between a
+    step's backward and the next step's forward.  The ESRGAN trunk has
+    only ~10 distinct parameter shapes (five RDB conv shapes x
+    kernel/bias), so stacking same-shape leaves turns the update into a
+    handful of large fused elementwise kernels: one multi-operand
+    concatenate per group in, one contiguous leading-axis slice per
+    leaf out — XLA-friendly data movement, unlike the flat-buffer
+    repacks measured and rejected in round 3 (docs/benchmarks.md
+    "Call-overhead anatomy").
+
+    Bit-identical math to ``apply_updates(params, grads, opt_state,
+    make_adam(), lr)``: the per-element formulas are ``flat_adam``'s
+    (optax ``scale_by_adam`` + scale(-1) + lr multiply), applied over a
+    stacked leading axis.  Returns ``(new_params, new_opt_state)`` with
+    the optax state structure preserved.
+    """
+    adam_state = opt_state[0]
+    count, mu, nu = adam_state.count, adam_state.mu, adam_state.nu
+
+    p_leaves, treedef = jax.tree_util.tree_flatten(params)
+    g_leaves = treedef.flatten_up_to(grads)
+    mu_leaves = treedef.flatten_up_to(mu)
+    nu_leaves = treedef.flatten_up_to(nu)
+
+    groups: dict[tuple, list[int]] = {}
+    for i, p in enumerate(p_leaves):
+        groups.setdefault((p.shape, jnp.dtype(p.dtype).name), []).append(i)
+
+    n = len(p_leaves)
+    new_p: list = [None] * n
+    new_mu: list = [None] * n
+    new_nu: list = [None] * n
+    for idxs in groups.values():
+        if len(idxs) == 1:
+            (i,) = idxs
+            np_, nmu, nnu, _ = flat_adam(
+                p_leaves[i], g_leaves[i], mu_leaves[i], nu_leaves[i],
+                count, lr, b1, b2, eps,
+            )
+            new_p[i], new_mu[i], new_nu[i] = np_, nmu, nnu
+        else:
+            P = jnp.stack([p_leaves[i] for i in idxs])
+            G = jnp.stack([g_leaves[i] for i in idxs])
+            MU = jnp.stack([mu_leaves[i] for i in idxs])
+            NU = jnp.stack([nu_leaves[i] for i in idxs])
+            NP, NMU, NNU, _ = flat_adam(P, G, MU, NU, count, lr,
+                                        b1, b2, eps)
+            for k, i in enumerate(idxs):
+                new_p[i], new_mu[i], new_nu[i] = NP[k], NMU[k], NNU[k]
+
+    unflatten = jax.tree_util.tree_unflatten
+    new_adam = adam_state._replace(
+        count=count + 1,
+        mu=unflatten(treedef, new_mu),
+        nu=unflatten(treedef, new_nu),
+    )
+    return unflatten(treedef, new_p), (new_adam,) + tuple(opt_state[1:])
+
+
 def step_lr_schedule(
     base_lr: float, epoch: int, total_epochs: int, gamma: float = 0.6
 ) -> float:

@@ -67,6 +67,7 @@ from torchsr_tpu.train.state import (
     GANTrainState,
     StatePacker,
     apply_updates,
+    grouped_apply_updates,
     flat_adam,
     init_gan_state,
     make_adam,
@@ -83,6 +84,23 @@ from torchsr_tpu.utils.profiling import StepProfiler
 
 BASE_LR = 1e-4
 SAMPLE_IMAGE_PATH = os.path.join("media", "waterfalls-low-res.png")
+
+# Optimizer-update schedule: "grouped" stacks same-shape leaves so the
+# update runs as a few large kernels instead of ~2 tiny kernels per
+# tensor (state.grouped_apply_updates; bit-identical math, equivalence
+# tested).  Read once at import; A/B via separate processes, like the
+# other kernel knobs.  MEASURED AND REJECTED as default (round 3,
+# ESRGAN GAN step, order-swapped isolated processes): device slope
+# 78.2/77.9 ms grouped vs 75.7/76.4 tree, per-call wall 84.9 vs 83.4 —
+# the per-group stack concats cost more than the tiny-kernel soup they
+# replace (docs/benchmarks.md "Call-overhead anatomy").  Default tree.
+_ADAM_GROUPED = os.environ.get("TORCHSR_ADAM", "tree") == "grouped"
+
+
+def _opt_apply(params, grads, opt_state, opt, lr):
+    if _ADAM_GROUPED:
+        return grouped_apply_updates(params, grads, opt_state, lr)
+    return apply_updates(params, grads, opt_state, opt, lr)
 
 
 class GANTrainer:
@@ -251,7 +269,7 @@ class GANTrainer:
             loss, new_stats, grads = pretrain_core(
                 state.gen_params, state.gen_stats, crops_u8, flips
             )
-            new_params, new_opt = apply_updates(
+            new_params, new_opt = _opt_apply(
                 state.gen_params, grads, state.psnr_opt_state, opt, BASE_LR
             )
             state = state.replace(
@@ -354,7 +372,7 @@ class GANTrainer:
             # the ~20M-param VGG trunk would bake it into the executable
             # as a constant (rule #4; ~300x per-call penalty on TPU).
             def update_disc(dgrads):
-                return apply_updates(
+                return _opt_apply(
                     state.disc_params, dgrads, state.disc_opt_state,
                     opt, disc_lr,
                 )
@@ -367,7 +385,7 @@ class GANTrainer:
                 state.disc_stats, crops_u8, flips, vgg_params,
                 update_disc,
             )
-            new_gen_params, new_gen_opt = apply_updates(
+            new_gen_params, new_gen_opt = _opt_apply(
                 state.gen_params, ggrads, state.gen_opt_state, opt, gen_lr
             )
             state = state.replace(
