@@ -132,6 +132,17 @@ def main() -> None:
     def couple(x, s):
         return x * (1.0 + 1e-12 * s).astype(x.dtype)
 
+    def consume(tree):
+        """Scalar depending on EVERY leaf.  Consuming only one leaf
+        lets XLA dead-code-eliminate the other leaves' producers —
+        e.g. all but one dW GEMM of a backward pass (this bug
+        understated every fwd+bwd component before round 3's
+        correction; see docs/benchmarks.md)."""
+        acc = jnp.float32(0.0)
+        for leaf in jax.tree.leaves(tree):
+            acc = acc + jnp.sum(leaf).astype(jnp.float32)
+        return acc * 1e-12
+
     def rep_gen_fwd(s):
         out = gen_apply(gen_params, couple(lr_img, s))
         return jnp.mean(out.astype(jnp.float32))
@@ -142,8 +153,7 @@ def main() -> None:
             return jnp.mean(out.astype(jnp.float32))
 
         val, grads = jax.value_and_grad(loss)(gen_params)
-        leaf = jax.tree.leaves(grads)[0]
-        return val + jnp.mean(leaf.astype(jnp.float32))
+        return val + consume(grads)
 
     def rep_disc_fwd(s):
         out, _ = disc_apply(disc_params, disc_stats, couple(hr_img, s))
@@ -156,8 +166,7 @@ def main() -> None:
             return disc_loss_fn(real, fake)
 
         val, grads = jax.value_and_grad(d_loss)(disc_params)
-        leaf = jax.tree.leaves(grads)[0]
-        return val + jnp.mean(leaf.astype(jnp.float32))
+        return val + consume(grads)
 
     def rep_vgg_fwd(s):
         out = vgg.apply({"params": vgg_params}, couple(hr_img, s))
@@ -194,14 +203,13 @@ def main() -> None:
     def rep_adam3(s):
         lr = 1e-4 * (1.0 + 1e-12 * s)
         g = jax.tree.map(lambda x: x + 1e-20 * s, fake_ggrads)
+        dg = jax.tree.map(lambda x: x + 1e-20 * s, fake_dgrads)
         p1, _ = apply_updates(gen_params, g, state.gen_opt_state, opt, lr)
         p2, _ = apply_updates(
-            disc_params, fake_dgrads, state.disc_opt_state, opt, lr
+            disc_params, dg, state.disc_opt_state, opt, lr
         )
         p3, _ = apply_updates(gen_params, g, state.psnr_opt_state, opt, lr)
-        return (jnp.mean(jax.tree.leaves(p1)[0].astype(jnp.float32))
-                + jnp.mean(jax.tree.leaves(p2)[0].astype(jnp.float32))
-                + jnp.mean(jax.tree.leaves(p3)[0].astype(jnp.float32)))
+        return consume(p1) + consume(p2) + consume(p3)
 
     def rep_synth(s):
         cr = (crops0.astype(jnp.float32) + s * 1e-12).astype(crops0.dtype)

@@ -117,6 +117,17 @@ def main() -> None:
     def couple(x, s):
         return x * (1.0 + 1e-12 * s).astype(x.dtype)
 
+    def consume(tree):
+        """Scalar depending on EVERY leaf.  Consuming only one leaf
+        lets XLA dead-code-eliminate the other leaves' producers —
+        e.g. all but one dW GEMM of a backward pass (this bug
+        understated every fwd+bwd component before round 3's
+        correction; see docs/benchmarks.md)."""
+        acc = jnp.float32(0.0)
+        for leaf in jax.tree.leaves(tree):
+            acc = acc + jnp.sum(leaf).astype(jnp.float32)
+        return acc * 1e-12
+
     def fwd_bwd_rep(mod, x, train_kw=True):
         variables, apply = section(mod, x, train_kw)
 
@@ -128,8 +139,7 @@ def main() -> None:
             val, (gv, gx) = jax.value_and_grad(loss, argnums=(0, 1))(
                 variables, couple(x, s)
             )
-            leaf = jax.tree.leaves(gv)[0]
-            return (val + jnp.mean(leaf.astype(jnp.float32))
+            return (val + consume(gv)
                     + jnp.mean(gx.astype(jnp.float32)))
 
         return rep
@@ -200,7 +210,7 @@ def main() -> None:
             p1, _ = apply_updates(
                 gen_params, g, state.psnr_opt_state, opt, 1e-4
             )
-            return jnp.mean(jax.tree.leaves(p1)[0].astype(jnp.float32))
+            return consume(p1)
 
         reps["adam"] = rep_adam
 
@@ -239,8 +249,7 @@ def main() -> None:
                 return jnp.mean(out.astype(jnp.float32))
 
             val, grads = jax.value_and_grad(loss)(gen_params)
-            leaf = jax.tree.leaves(grads)[0]
-            return val + jnp.mean(leaf.astype(jnp.float32))
+            return val + consume(grads)
 
         reps["gen_fwd_bwd"] = rep_gen_fwd_bwd
 
@@ -282,9 +291,157 @@ def main() -> None:
 
     results = {name: slope(rep, name) for name, rep in reps.items()}
 
-    if want("step_device"):
+    # In-context ablations: the same step structure with pieces removed,
+    # all slope-timed over donated state chains.  core = synth + loss +
+    # grads only (params constant, no update); core_sgd additionally
+    # threads params (one cheap kernel per leaf) and BN stats, i.e. the
+    # full serialization structure minus Adam; step_device is the real
+    # step (tree Adam + opt state + counter).  Differences attribute
+    # the step's slope-invisible share.
+    if want("core") or want("core_sgd") or want("step_device"):
         batches = [trainer._put(c, f) for c, f in tl.epoch(0)]
         (b0c, b0f), (b1c, b1f) = batches[0], batches[1]
+        core = trainer._pretrain_core
+
+    def timed_arg_chain(chain, init):
+        st = jax.tree.map(lambda x: x + 0, init)
+        st, acc = chain(st, b0c, b0f, b1c, b1f)
+        float(acc)
+        for _phase in range(2):
+            t0 = time.perf_counter()
+            for _ in range(args.iters):
+                st, acc = chain(st, b0c, b0f, b1c, b1f)
+            float(acc)
+            elapsed = time.perf_counter() - t0
+        return elapsed / args.iters
+
+    def chain_slope(make_chain, init, name, n1=1, n2=3):
+        t1 = timed_arg_chain(make_chain(n1), init)
+        t2 = timed_arg_chain(make_chain(n2), init)
+        ms = (t2 - t1) / (n2 - n1) * 1e3
+        print(f"{name:12s} {ms:8.3f} ms "
+              f"(chain{n1} {t1 * 1e3:.2f}, chain{n2} {t2 * 1e3:.2f})",
+              file=sys.stderr)
+        return ms
+
+    if want("core"):
+        def make_core_chain(n):
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def chain(s, b0c, b0f, b1c, b1f):
+                for i in range(n):
+                    c, fl = (b0c, b0f) if i % 2 == 0 else (b1c, b1f)
+                    # Couple the input to the previous rep's scalar so
+                    # the reps serialize (one extra u8 pass, ~0 cost).
+                    c = (c.astype(jnp.float32) + s * 1e-30).astype(
+                        c.dtype
+                    )
+                    loss, _stats, grads = core(
+                        gen_params, gen_stats, c, fl
+                    )
+                    s = loss + consume(grads)
+                return s, s
+
+            return chain
+
+        results["core"] = chain_slope(
+            make_core_chain, jnp.float32(0.0), "core"
+        )
+
+    if want("core_args"):
+        # Params/stats as traced ARGUMENTS (not closure constants),
+        # threaded through UNCHANGED: separates "weights are runtime
+        # buffers" from "weights change every step".
+        def make_args_chain(n):
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def chain(carry, b0c, b0f, b1c, b1f):
+                p, stats, s = carry
+                for i in range(n):
+                    c, fl = (b0c, b0f) if i % 2 == 0 else (b1c, b1f)
+                    c = (c.astype(jnp.float32) + s * 1e-30).astype(
+                        c.dtype
+                    )
+                    loss, _stats, grads = core(p, stats, c, fl)
+                    s = loss + consume(grads)
+                return (p, stats, s), s
+
+            return chain
+
+        results["core_args"] = chain_slope(
+            make_args_chain,
+            (gen_params, gen_stats, jnp.float32(0.0)),
+            "core_args",
+        )
+
+    if want("stats_only"):
+        # Thread the BN running stats per rep; params stay unchanged
+        # args.  Isolates the stat-threading share.
+        def make_stats_chain(n):
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def chain(carry, b0c, b0f, b1c, b1f):
+                p, stats = carry
+                acc = jnp.float32(0.0)
+                for i in range(n):
+                    c, fl = (b0c, b0f) if i % 2 == 0 else (b1c, b1f)
+                    c = (c.astype(jnp.float32) + acc * 1e-30).astype(
+                        c.dtype
+                    )
+                    loss, stats, _grads = core(p, stats, c, fl)
+                    acc = acc + loss
+                return (p, stats), acc
+
+            return chain
+
+        results["stats_only"] = chain_slope(
+            make_stats_chain, (gen_params, gen_stats), "stats_only"
+        )
+
+    if want("sgd_nostats"):
+        # Params updated per rep (one fused kernel per leaf); stats
+        # unchanged.  Isolates the params-change share.
+        def make_sgdns_chain(n):
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def chain(carry, b0c, b0f, b1c, b1f):
+                p, stats = carry
+                acc = jnp.float32(0.0)
+                for i in range(n):
+                    c, fl = (b0c, b0f) if i % 2 == 0 else (b1c, b1f)
+                    loss, _stats, grads = core(p, stats, c, fl)
+                    p = jax.tree.map(
+                        lambda a, g: a - 1e-4 * g.astype(a.dtype),
+                        p, grads,
+                    )
+                    acc = acc + loss
+                return (p, stats), acc
+
+            return chain
+
+        results["sgd_nostats"] = chain_slope(
+            make_sgdns_chain, (gen_params, gen_stats), "sgd_nostats"
+        )
+
+    if want("core_sgd"):
+        def make_sgd_chain(n):
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def chain(carry, b0c, b0f, b1c, b1f):
+                p, stats = carry
+                acc = jnp.float32(0.0)
+                for i in range(n):
+                    c, fl = (b0c, b0f) if i % 2 == 0 else (b1c, b1f)
+                    loss, stats, grads = core(p, stats, c, fl)
+                    p = jax.tree.map(
+                        lambda a, g: a - 1e-4 * g.astype(a.dtype),
+                        p, grads,
+                    )
+                    acc = acc + loss
+                return (p, stats), acc
+
+            return chain
+
+        results["core_sgd"] = chain_slope(
+            make_sgd_chain, (gen_params, gen_stats), "core_sgd"
+        )
+
+    if want("step_device"):
 
         def make_step_chain(n):
             @functools.partial(jax.jit, donate_argnums=(0,))

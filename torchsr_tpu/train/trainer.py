@@ -421,6 +421,10 @@ class GANTrainer:
         donate = functools.partial(jax.jit, donate_argnums=(0,))
         self.pretrain_step = donate(pretrain_step)
         self.gan_step = donate(gan_step)
+        # Unjitted loss+grad core, exposed for section-level profiling
+        # (tools/profile_pretrain.py ablates optimizer/state threading
+        # against it); not a training entry point.
+        self._pretrain_core = pretrain_core
         self.eval_step = jax.jit(eval_step)
         self.infer = jax.jit(
             lambda params, stats, x: _gen_apply(params, stats, x, False)[0]
