@@ -149,6 +149,12 @@ def parse_args(argv: list[str] | None = None) -> Namespace:
         help="Skip generating and saving the per-epoch sample image.",
     )
     train.add_argument(
+        "--no-preempt-save", action="store_true",
+        help="Disable the SIGTERM preemption handler (by default a "
+             "termination signal checkpoints the full training state "
+             "at the next step boundary and exits cleanly).",
+    )
+    train.add_argument(
         "--train-dir", type=str, default=TRAIN_DIR,
         help=f"Directory where training images are stored. "
              f"Default: {TRAIN_DIR}.",

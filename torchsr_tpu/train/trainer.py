@@ -80,6 +80,10 @@ from torchsr_tpu.utils.checkpoint import (
     save_checkpoint,
 )
 from torchsr_tpu.utils.logging import Logger
+from torchsr_tpu.utils.preemption import (
+    PreemptionGuard,
+    TrainingPreempted,
+)
 from torchsr_tpu.utils.profiling import StepProfiler
 
 BASE_LR = 1e-4
@@ -144,6 +148,8 @@ class GANTrainer:
         self.upscale = getattr(args, "upscale_factor", 4)
         self.crop_size = train_loader.crop_size
         self.seed = getattr(args, "seed", 0) or 0
+        self.preempt_save = not getattr(args, "no_preempt_save", False)
+        self._preemption: PreemptionGuard | None = None
 
         self.logger = logger or Logger(self.main_process, config=vars(args))
 
@@ -842,6 +848,21 @@ class GANTrainer:
     def _put(self, *arrays):
         return put_batch(tuple(arrays), self.mesh)
 
+    def _check_preemption(self, epoch: int, phase: str) -> None:
+        """Between jitted step calls: if a termination signal arrived,
+        write the full ``-latest`` checkpoint for the current phase and
+        raise ``TrainingPreempted`` (caught in ``train``).  The saved
+        epoch is the one being interrupted, so the resume-at-epoch rule
+        re-runs it from its start (reference srgan/trainer.py:367)."""
+        if self._preemption is None or not self._preemption.requested:
+            return
+        self._save(epoch, phase, "latest")
+        self.logger.log(
+            f"Preemption signal received: saved {phase}-latest.ckpt "
+            f"at epoch {epoch}; exiting cleanly"
+        )
+        raise TrainingPreempted(phase)
+
     # ------------------------------------------------------------ eval
 
     def _test(self, epoch: int, phase: str, step: int) -> None:
@@ -985,6 +1006,7 @@ class GANTrainer:
                     self.profiler.step()
                 done += k
                 pbar.update(k)
+                self._check_preemption(epoch, f"{self.model_name}-psnr")
                 step = (
                     (done - 1) * self.batch_size * self.world_size
                     + (epoch - 1) * self.train_len
@@ -1087,6 +1109,7 @@ class GANTrainer:
                     self.profiler.step()
                 done += k
                 pbar.update(k)
+                self._check_preemption(epoch, f"{self.model_name}-gan")
                 step = (
                     (done - 1) * self.batch_size * self.world_size
                     + (self.pre_epochs + epoch - 1) * self.train_len
@@ -1127,11 +1150,26 @@ class GANTrainer:
             self._test(epoch, f"{self.model_name}-gan", step)
 
     def train(self) -> None:
-        """Pretrain then GAN-train (reference srgan/trainer.py:533-543)."""
-        self._pretrain()
-        self._gan_train()
-        self.profiler.stop()
-        self.logger.finish()
+        """Pretrain then GAN-train (reference srgan/trainer.py:533-543).
+
+        With ``preempt_save`` (default on; ``--no-preempt-save``
+        disables), SIGTERM triggers a full ``-latest`` checkpoint at
+        the next step boundary and a clean return — see
+        utils/preemption.py for the scheduler/multi-process semantics.
+        """
+        if self.preempt_save:
+            self._preemption = PreemptionGuard().install()
+        try:
+            self._pretrain()
+            self._gan_train()
+        except TrainingPreempted:
+            pass  # checkpoint already written; exit cleanly
+        finally:
+            if self._preemption is not None:
+                self._preemption.uninstall()
+                self._preemption = None
+            self.profiler.stop()
+            self.logger.finish()
 
 
 def _load_vgg_weights(path: str) -> dict:
