@@ -130,3 +130,22 @@ def test_cli_test_without_checkpoint_errors(tmp_path, monkeypatch):
     ).save("x.png")
     with pytest.raises(FileNotFoundError, match="no checkpoint found"):
         main(["test", "x.png", "--model", "srgan"])
+
+
+def test_inference_dtype_resolution(monkeypatch):
+    """torchsr test runs bf16 on TPU (the benchmarked configuration),
+    f32 on other backends, and --disable-amp forces f32 anywhere."""
+    from argparse import Namespace
+
+    import jax
+    import jax.numpy as jnp
+
+    from torchsr_tpu.infer.runner import resolve_compute_dtype
+
+    # the test backend is CPU: amp-on still resolves to f32
+    assert resolve_compute_dtype(Namespace()) == jnp.float32
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert resolve_compute_dtype(Namespace()) == jnp.bfloat16
+    assert (
+        resolve_compute_dtype(Namespace(disable_amp=True)) == jnp.float32
+    )

@@ -145,3 +145,29 @@ def test_eval_empty_dir_raises(tmp_path, monkeypatch):
     _tiny_srgan_checkpoint()
     with pytest.raises(ValueError, match="no supported images"):
         main(["eval", "val", "--model", "srgan"])
+
+
+@pytest.mark.slow
+def test_eval_bf16_matches_f32(tmp_path, monkeypatch):
+    """--bf16 scores the TPU serving precision; on structured content
+    its PSNR must sit within a whisker of the f32 score (bf16 rel. eps
+    2^-8 ~ the uint8 quantization step)."""
+    monkeypatch.chdir(tmp_path)
+    rng = np.random.default_rng(14)
+    os.makedirs("val")
+    Image.fromarray(_structured(rng, 40, 48)).save("val/a.png")
+    _tiny_srgan_checkpoint()
+
+    main([
+        "eval", "val", "--model", "srgan", "--report", "f32.json",
+    ])
+    main([
+        "eval", "val", "--model", "srgan", "--bf16",
+        "--report", "bf16.json",
+    ])
+    with open("f32.json") as fh:
+        f32 = json.load(fh)
+    with open("bf16.json") as fh:
+        b16 = json.load(fh)
+    assert abs(f32["mean_psnr"] - b16["mean_psnr"]) < 0.5, (f32, b16)
+    assert abs(f32["mean_ssim"] - b16["mean_ssim"]) < 0.02

@@ -253,6 +253,12 @@ def parse_args(argv: list[str] | None = None) -> Namespace:
              "halo exchange (one collective round, fully local compute; "
              "see infer/halo.py). Uses --tile-overlap as the halo.",
     )
+    test.add_argument(
+        "--disable-amp", action="store_true",
+        help="Run the generator forward in float32 (default: bfloat16 "
+             "on TPU — the benchmarked configuration — float32 "
+             "elsewhere).",
+    )
 
     export = commands.add_parser(
         "export",
@@ -339,6 +345,12 @@ def parse_args(argv: list[str] | None = None) -> Namespace:
     ev.add_argument(
         "--tile-batch", type=positive_integer, default=8,
         help="Tiles per generator forward during tiled inference.",
+    )
+    ev.add_argument(
+        "--bf16", action="store_true",
+        help="Score with the bfloat16 serving forward instead of "
+             "float32 — quantifies the TPU inference precision's "
+             "quality cost.",
     )
     ev.add_argument(
         "--save-sr", action="store_true",

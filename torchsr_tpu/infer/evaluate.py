@@ -81,7 +81,15 @@ def run_eval(args: Namespace, generator_cls) -> dict:
                 ), 0.0, 1.0,
             ))
     else:
-        generator, variables = load_trained_generator(args, generator_cls)
+        # Default f32 (metric-grade precision); --bf16 scores the
+        # TPU serving precision instead, quantifying its quality cost.
+        dtype_kw = (
+            {"dtype": jnp.bfloat16}
+            if getattr(args, "bf16", False) else {}
+        )
+        generator, variables = load_trained_generator(
+            args, generator_cls, **dtype_kw
+        )
 
         def infer_fn(v, batch: jnp.ndarray) -> jnp.ndarray:
             return generator.apply(v, batch, train=False)

@@ -26,6 +26,22 @@ from torchsr_tpu.utils import image_io
 from torchsr_tpu.utils.checkpoint import find_checkpoint, load_checkpoint
 
 
+def resolve_compute_dtype(args: Namespace):
+    """Inference compute dtype: bfloat16 on TPU unless ``--disable-amp``,
+    float32 everywhere else.
+
+    bf16 is the configuration every published inference number was
+    measured in (docs/benchmarks.md) and matches the training-time eval
+    forward; its rounding (rel. eps 2^-8) sits at the same order as the
+    uint8 output quantization step.  CPU XLA emulates bf16 matmuls, so
+    off-TPU the default stays f32."""
+    if getattr(args, "disable_amp", False):
+        return jnp.float32
+    return (
+        jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    )
+
+
 def load_trained_generator(
     args: Namespace, generator_cls, **generator_kwargs
 ):
@@ -78,7 +94,9 @@ def run_test(args: Namespace, generator_cls) -> str:
     # captured device arrays compile in as constants, which some
     # runtimes re-materialize per call (measured ~300x slower through
     # a tunneled TPU).
-    generator, variables = load_trained_generator(args, generator_cls)
+    generator, variables = load_trained_generator(
+        args, generator_cls, dtype=resolve_compute_dtype(args)
+    )
 
     def infer_fn(v, batch: jnp.ndarray) -> jnp.ndarray:
         return generator.apply(v, batch, train=False)
