@@ -40,6 +40,29 @@ def test_dataset_multiplier_validation():
         parse_args(["train", "--dataset-multiplier", "0"])
 
 
+def test_tile_overlap_must_be_smaller_than_tile(capsys):
+    """overlap >= tile makes the tiling stride non-positive; the CLI
+    must reject it with a usage error, not crash inside tiled_upscale."""
+    for sub in (["test", "x.png"], ["eval", "val"]):
+        with pytest.raises(SystemExit):
+            parse_args(sub + ["--tile", "16", "--tile-overlap", "16"])
+        # overlap < tile parses fine
+        args = parse_args(sub + ["--tile", "16", "--tile-overlap", "8"])
+        assert args.tile == 16 and args.tile_overlap == 8
+    # whole-image mode (tile=0) ignores the overlap value
+    parse_args(["test", "x.png", "--tile-overlap", "16"])
+
+
+def test_eval_artifact_rejects_bf16(capsys):
+    """An artifact's precision is baked at export; --bf16 with
+    --artifact is a contradiction and must be a usage error rather
+    than silently scoring the artifact's own dtype."""
+    with pytest.raises(SystemExit):
+        parse_args(["eval", "val", "--artifact", "m.shlo", "--bf16"])
+    parse_args(["eval", "val", "--artifact", "m.shlo"])  # alone: fine
+    parse_args(["eval", "val", "--bf16"])  # alone: fine
+
+
 @pytest.mark.slow
 def test_cli_train_then_test(image_dir, tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)

@@ -138,6 +138,21 @@ def test_stacked_prefetch_groups_and_tail(image_dir):
         assert kinds.index("single") > kinds.index("multi")
 
 
+def test_stacked_prefetch_k1_disables_fusion(image_dir):
+    """--steps-per-call 1 must route every batch through the plain
+    single-step jit (no stacked axis, no scan-of-1 program), so it is a
+    true per-call baseline for A/B'ing the scan fusion."""
+    trainer = _tiny_trainer(image_dir, "srgan", dataset_multiplier=3)
+    n_batches = len(trainer.train_loader)
+    kinds = [
+        kind
+        for kind, _ in prefetch_to_device_stacked(
+            trainer.train_loader.epoch(0), trainer.mesh, 1
+        )
+    ]
+    assert kinds == ["single"] * n_batches
+
+
 @pytest.mark.slow
 def test_epoch_loop_runs_multi_and_tail(image_dir, workdir):
     """Full two-phase recipe through the multi-step loops: 5 batches

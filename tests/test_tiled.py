@@ -45,6 +45,19 @@ def test_tiled_matches_monolithic():
     assert 10 * np.log10(1 / max(mse, 1e-12)) > 45.0
 
 
+def test_tiled_rejects_degenerate_overlap():
+    """overlap >= tile would zero the stride (range step 0 /
+    IndexError); the library boundary raises a clear ValueError."""
+    import pytest
+
+    img = jnp.zeros((80, 80, 3), jnp.float32)
+    for bad in (32, 33):
+        with pytest.raises(ValueError, match="overlap"):
+            tiled_upscale(_toy_sr, img, scale=4, tile=32, overlap=bad)
+    with pytest.raises(ValueError, match="overlap"):
+        tiled_upscale(_toy_sr, img, scale=4, tile=32, overlap=-1)
+
+
 def test_tiled_small_image_pads():
     rng = np.random.default_rng(1)
     img = jnp.asarray(rng.random((20, 24, 3)), jnp.float32)

@@ -397,7 +397,25 @@ def parse_args(argv: list[str] | None = None) -> Namespace:
         help="Model architecture of the checkpoints (used only when "
              "converting reference .pth inputs).",
     )
-    return parser.parse_args(argv)
+    args = parser.parse_args(argv)
+
+    # Cross-flag validation, surfaced as argparse errors (exit 2 with
+    # usage) instead of shape errors deep inside the tiled kernels.
+    tile = getattr(args, "tile", 0)
+    if tile and getattr(args, "tile_overlap", 0) >= tile:
+        parser.error(
+            f"--tile-overlap ({args.tile_overlap}) must be smaller "
+            f"than --tile ({tile}): the tiling stride is their "
+            f"difference and must stay positive"
+        )
+    if getattr(args, "artifact", None) and getattr(args, "bf16", False):
+        parser.error(
+            "--bf16 cannot be combined with --artifact: a serving "
+            "artifact's compute precision is baked in at export time "
+            "(score the checkpoint with --bf16, or export and score "
+            "the artifact as-is)"
+        )
+    return args
 
 
 def _honor_platform_env() -> None:

@@ -66,6 +66,10 @@ def prefetch_to_device_stacked(
     ``("single", batch_tuple)`` so the single-step jit handles it — a
     short tail must NOT trigger a separate trace of the scan program
     per distinct remainder length.
+
+    ``steps_per_call <= 1`` disables fusion entirely: every batch is
+    yielded as ``("single", ...)`` (no stacked axis, no scan-of-1
+    program), which is the documented ``--steps-per-call 1`` baseline.
     """
     q: queue.Queue = queue.Queue(maxsize=size)
 
@@ -74,7 +78,7 @@ def prefetch_to_device_stacked(
             buf: list[tuple] = []
             for item in iterator:
                 buf.append(tuple(item))
-                if len(buf) == steps_per_call:
+                if len(buf) == steps_per_call and steps_per_call > 1:
                     stacked = tuple(
                         np.stack([b[i] for b in buf])
                         for i in range(len(buf[0]))

@@ -76,6 +76,12 @@ def tiled_upscale(
     constants, which some runtimes re-materialize per call (measured
     ~300x slower on a tunneled TPU).
     """
+    if not 0 <= overlap < tile:
+        raise ValueError(
+            f"overlap must satisfy 0 <= overlap < tile, got "
+            f"overlap={overlap} tile={tile} (the tiling stride is "
+            f"tile - overlap and must stay positive)"
+        )
     h, w = image.shape[:2]
     pad_h = max(tile - h, 0)
     pad_w = max(tile - w, 0)

@@ -955,6 +955,64 @@ class GANTrainer:
 
     # --------------------------------------------------------- phases
 
+    def _stacked_epoch_loop(
+        self,
+        *,
+        epoch: int,
+        shuffle_epoch: int,
+        phase: str,
+        epoch_offset: int,
+        run_call,
+        wandb_payload,
+        prev_step: int,
+    ) -> int:
+        """Shared K-steps-per-call epoch scaffolding for both phases.
+
+        Drives the epoch's batches through ``run_call(kind, payload) ->
+        (k, losses)`` — which applies the jitted multi/single step
+        program to ``self.state`` and returns the number of fused steps
+        plus the per-step loss scalar/vector — handling the bookkeeping
+        both phases share: profiler/progress-bar updates, the
+        preemption poll between jitted calls, the reference's global
+        sample-step arithmetic (srgan/trainer.py:390-391), and the
+        per-step wandb expansion of a multi-step call's loss vector
+        (``wandb_payload(loss_value) -> dict`` supplies the phase's
+        metric keys).  Returns the final global step (``prev_step`` if
+        the epoch had no batches)."""
+        pbar = tqdm(
+            total=len(self.train_loader), disable=not self.main_process,
+        )
+        done = 0
+        step = prev_step
+        scale = self.batch_size * self.world_size
+        for kind, payload in prefetch_to_device_stacked(
+            self.train_loader.epoch(shuffle_epoch), self.mesh,
+            self.steps_per_call,
+        ):
+            k, losses = run_call(kind, payload)
+            for _ in range(k):
+                self.profiler.step()
+            done += k
+            pbar.update(k)
+            self._check_preemption(epoch, phase)
+            step = (done - 1) * scale + epoch_offset
+            if self.logger.wandb_active:
+                # The device fetch syncs — only pay it when wandb
+                # actually consumes the values, and fetch a multi-step
+                # call's K losses in ONE transfer (per-element float()
+                # would issue K round trips through the runtime).
+                per_step = (
+                    np.asarray(jax.device_get(losses)).tolist()
+                    if k > 1 else [float(losses)]
+                )
+                for j, lv in enumerate(per_step):
+                    self.logger.log_wandb(
+                        wandb_payload(lv),
+                        step=(done - k + j) * scale + epoch_offset,
+                    )
+        pbar.close()
+        return step
+
     def _pretrain(self) -> None:
         self.logger.log("=" * 80)
         self.logger.log("Starting pre-training")
@@ -978,59 +1036,34 @@ class GANTrainer:
                 f"Starting epoch {epoch} out of {self.pre_epochs}"
             )
             start_time = time.time()
-            pbar = tqdm(
-                total=len(self.train_loader),
-                disable=not self.main_process,
-            )
-            done = 0
+
             # K steps per jitted call (lax.scan over the stacked batch
             # axis); the ragged tail goes through the single-step jit.
-            for kind, payload in prefetch_to_device_stacked(
-                self.train_loader.epoch(epoch - 1), self.mesh,
-                self.steps_per_call,
-            ):
+            def run_call(kind, payload):
                 if kind == "multi":
                     crops_k, flips_k = payload
-                    k = int(crops_k.shape[0])
                     self.state, losses = self.pretrain_step_multi(
                         self.state, crops_k, flips_k
                     )
-                else:
-                    crops_dev, flips_dev = payload
-                    k = 1
-                    self.state, loss = self.pretrain_step(
-                        self.state, crops_dev, flips_dev
-                    )
-                    losses = None
-                for _ in range(k):
-                    self.profiler.step()
-                done += k
-                pbar.update(k)
-                self._check_preemption(epoch, f"{self.model_name}-psnr")
-                step = (
-                    (done - 1) * self.batch_size * self.world_size
-                    + (epoch - 1) * self.train_len
+                    return int(crops_k.shape[0]), losses
+                crops_dev, flips_dev = payload
+                self.state, loss = self.pretrain_step(
+                    self.state, crops_dev, flips_dev
                 )
-                if self.logger.wandb_active:
-                    # float() syncs the device — only pay it when wandb
-                    # actually consumes the values.
-                    per_step = (
-                        [float(x) for x in losses]
-                        if losses is not None else [float(loss)]
-                    )
-                    for j, lv in enumerate(per_step):
-                        self.logger.log_wandb(
-                            {
-                                "psnr/train-loss": lv,
-                                "psnr/epoch": epoch,
-                            },
-                            step=(
-                                (done - k + j) * self.batch_size
-                                * self.world_size
-                                + (epoch - 1) * self.train_len
-                            ),
-                        )
-            pbar.close()
+                return 1, loss
+
+            step = self._stacked_epoch_loop(
+                epoch=epoch,
+                shuffle_epoch=epoch - 1,
+                phase=f"{self.model_name}-psnr",
+                epoch_offset=(epoch - 1) * self.train_len,
+                run_call=run_call,
+                wandb_payload=lambda lv: {
+                    "psnr/train-loss": lv,
+                    "psnr/epoch": epoch,
+                },
+                prev_step=step,
+            )
             jax.block_until_ready(self.state.gen_params)
             time_taken = max(time.time() - start_time, 1e-9)
             throughput = (
@@ -1080,60 +1113,39 @@ class GANTrainer:
             gen_lr = step_lr_schedule(BASE_LR, epoch, self.epochs)
             disc_lr = step_lr_schedule(BASE_LR, epoch, self.epochs)
             start_time = time.time()
-            pbar = tqdm(
-                total=len(self.train_loader),
-                disable=not self.main_process,
-            )
-            done = 0
+
             # K steps per jitted call; ragged tail on the single-step
             # jit (see _pretrain).
-            for kind, payload in prefetch_to_device_stacked(
-                self.train_loader.epoch(self.pre_epochs + epoch - 1),
-                self.mesh, self.steps_per_call,
-            ):
+            def run_call(kind, payload, gen_lr=gen_lr, disc_lr=disc_lr):
                 if kind == "multi":
                     crops_k, flips_k = payload
-                    k = int(crops_k.shape[0])
                     self.state, metrics = self.gan_step_multi(
                         self.state, crops_k, flips_k, gen_lr, disc_lr,
                         self.vgg_params,
                     )
-                else:
-                    crops_dev, flips_dev = payload
-                    k = 1
-                    self.state, metrics = self.gan_step(
-                        self.state, crops_dev, flips_dev, gen_lr,
-                        disc_lr, self.vgg_params,
-                    )
-                for _ in range(k):
-                    self.profiler.step()
-                done += k
-                pbar.update(k)
-                self._check_preemption(epoch, f"{self.model_name}-gan")
-                step = (
-                    (done - 1) * self.batch_size * self.world_size
-                    + (self.pre_epochs + epoch - 1) * self.train_len
+                    return int(crops_k.shape[0]), metrics["gen_loss"]
+                crops_dev, flips_dev = payload
+                self.state, metrics = self.gan_step(
+                    self.state, crops_dev, flips_dev, gen_lr,
+                    disc_lr, self.vgg_params,
                 )
-                if self.logger.wandb_active:
-                    gl = metrics["gen_loss"]
-                    per_step = (
-                        [float(x) for x in gl] if k > 1 else [float(gl)]
-                    )
-                    for j, lv in enumerate(per_step):
-                        self.logger.log_wandb(
-                            {
-                                "gan/disc-lr": disc_lr,
-                                "gan/gen-lr": gen_lr,
-                                "gan/train-loss": lv,
-                            },
-                            step=(
-                                (done - k + j) * self.batch_size
-                                * self.world_size
-                                + (self.pre_epochs + epoch - 1)
-                                * self.train_len
-                            ),
-                        )
-            pbar.close()
+                return 1, metrics["gen_loss"]
+
+            step = self._stacked_epoch_loop(
+                epoch=epoch,
+                shuffle_epoch=self.pre_epochs + epoch - 1,
+                phase=f"{self.model_name}-gan",
+                epoch_offset=(
+                    (self.pre_epochs + epoch - 1) * self.train_len
+                ),
+                run_call=run_call,
+                wandb_payload=lambda lv: {
+                    "gan/disc-lr": disc_lr,
+                    "gan/gen-lr": gen_lr,
+                    "gan/train-loss": lv,
+                },
+                prev_step=step,
+            )
             jax.block_until_ready(self.state.gen_params)
             time_taken = max(time.time() - start_time, 1e-9)
             throughput = (

@@ -69,9 +69,9 @@ class PreemptionGuard:
             self._active = True
         except ValueError:
             # Not the main thread: signal.signal is illegal here.  Run
-            # inert — training works, preemption saves don't.
-            self._previous.clear()
-            self._active = False
+            # inert — training works, preemption saves don't.  Restore
+            # anything already swapped before the failure.
+            self.uninstall()
         return self
 
     def uninstall(self) -> None:
