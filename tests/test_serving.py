@@ -171,6 +171,32 @@ def test_esrgan_artifact_matches_live(tmp_path):
     )
 
 
+def test_bf16_artifact_f32_boundary(tiny_artifact, tmp_path):
+    """`export --bf16` bakes bfloat16 compute but the artifact keeps
+    the f32 in/out convention: output dtype is float32, the sidecar
+    records compute_dtype, and values sit within bf16 rounding of the
+    f32 artifact."""
+    _path, gen, variables = tiny_artifact
+    gen16 = SRGANGenerator(num_residual=2, dtype=jnp.bfloat16)
+    path16 = str(tmp_path / "srgan-bf16.shlo")
+    export_generator_artifact(
+        path16, gen16, variables, input_hw=(16, 16), batch=2,
+        scale=4, model="srgan", platforms=("cpu",),
+        compute_dtype="bfloat16",
+    )
+    served16 = ServedGenerator(path16)
+    assert served16.meta["compute_dtype"] == "bfloat16"
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.random((2, 16, 16, 3)), jnp.float32)
+    out16 = served16(x)
+    assert out16.dtype == jnp.float32
+    out32 = gen.apply(variables, x, train=False)
+    # bf16 rel. eps is 2^-8; activations are O(1)
+    np.testing.assert_allclose(
+        np.asarray(out16), np.asarray(out32), atol=0.08,
+    )
+
+
 @pytest.mark.slow
 def test_cli_export_roundtrip(image_dir, tmp_path, monkeypatch):
     """train -> export -> load artifact without the checkpoint, and

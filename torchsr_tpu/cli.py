@@ -295,6 +295,13 @@ def parse_args(argv: list[str] | None = None) -> Namespace:
              "artifact.",
     )
     export.add_argument(
+        "--bf16", action="store_true",
+        help="Bake bfloat16 compute into the artifact (the benchmarked "
+             "TPU serving precision); inputs/outputs stay float32 and "
+             "the sidecar records compute_dtype. Quantify the quality "
+             "cost beforehand with `torchsr eval --bf16`.",
+    )
+    export.add_argument(
         "--seed", type=int, default=0,
         help="Unused at export; accepted for CLI compatibility.",
     )

@@ -160,6 +160,13 @@ def run_export(args: Namespace, generator_cls) -> str:
     kwargs = (
         {"fused_rdb": False} if args.model.lower() == "esrgan" else {}
     )
+    # --bf16 bakes the benchmarked TPU serving precision into the
+    # artifact's compute graph; the artifact boundary stays float32
+    # (serving.py casts the output and records compute_dtype in the
+    # sidecar).
+    bf16 = getattr(args, "bf16", False)
+    if bf16:
+        kwargs["dtype"] = jnp.bfloat16
     generator, variables = load_trained_generator(
         args, generator_cls, **kwargs
     )
@@ -175,4 +182,5 @@ def run_export(args: Namespace, generator_cls) -> str:
         scale=4,
         model=args.model.lower(),
         platforms=platforms,
+        compute_dtype="bfloat16" if bf16 else "float32",
     )

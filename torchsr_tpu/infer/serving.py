@@ -57,13 +57,17 @@ def export_generator_artifact(
     scale: int = 4,
     model: str = "",
     platforms: Sequence[str] = ("tpu", "cpu"),
+    compute_dtype: str = "float32",
 ) -> str:
     """Export ``generator``'s eval forward to ``out_path`` (+ sidecar).
 
     ``variables`` is the flax variable dict ({"params": ..., optional
     "batch_stats": ...}); its arrays are baked into the artifact.
     The exported callable maps ``(batch, H, W, 3) float32`` (pixels in
-    [0, 1]) to ``(batch, H*scale, W*scale, 3) float32``.
+    [0, 1]) to ``(batch, H*scale, W*scale, 3) float32`` regardless of
+    the generator's internal ``compute_dtype`` (recorded in the
+    sidecar; a bfloat16 generator is the benchmarked TPU serving
+    configuration, with float32 at the artifact boundary).
 
     Returns ``out_path``.
     """
@@ -74,7 +78,10 @@ def export_generator_artifact(
 
     @jax.jit
     def serve_fn(batch_imgs):
-        return generator.apply(variables, batch_imgs, train=False)
+        out = generator.apply(variables, batch_imgs, train=False)
+        # The artifact's calling convention is f32 in / f32 out even
+        # when the baked generator computes in bfloat16.
+        return jnp.asarray(out, jnp.float32)
 
     spec = jax.ShapeDtypeStruct((batch, h, w, 3), jnp.float32)
     exported = jax_export.export(serve_fn, platforms=list(platforms))(
@@ -90,6 +97,7 @@ def export_generator_artifact(
         "input_shape": [int(batch), int(h), int(w), 3],
         "output_shape": [int(batch), int(h * scale), int(w * scale), 3],
         "dtype": "float32",
+        "compute_dtype": compute_dtype,
         "pixel_range": [0.0, 1.0],
         "platforms": list(exported.platforms),
         "calling_convention": "sr = f(lr_batch)",
