@@ -1,0 +1,132 @@
+"""The `torchsr serve` HTTP daemon (infer/server.py).
+
+Drives a real ThreadingHTTPServer on an ephemeral port with urllib:
+readiness gating, metadata, PNG round-trip at 4x (both the exact
+export shape and an odd size through tiling), the overlap query
+override, and the error paths.
+"""
+
+import io
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from PIL import Image
+
+from torchsr_tpu.infer.serving import export_generator_artifact
+from torchsr_tpu.infer.server import make_server
+from torchsr_tpu.models import SRGANGenerator
+
+
+@pytest.fixture(scope="module")
+def live_server(tmp_path_factory):
+    root = tmp_path_factory.mktemp("server")
+    gen = SRGANGenerator(num_residual=2)
+    variables = gen.init(
+        jax.random.PRNGKey(5), jnp.zeros((1, 16, 16, 3)), train=False
+    )
+    path = str(root / "srgan.shlo")
+    export_generator_artifact(
+        path, gen, variables, input_hw=(16, 16), batch=2,
+        scale=4, model="srgan", platforms=("cpu",),
+    )
+    server = make_server(path, port=0, warmup=True)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    yield base
+    server.shutdown()
+    server.server_close()
+
+
+def _png_bytes(h: int, w: int, seed: int = 0) -> bytes:
+    rng = np.random.default_rng(seed)
+    buf = io.BytesIO()
+    Image.fromarray(
+        rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    ).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def _post(url: str, body: bytes):
+    req = urllib.request.Request(url, data=body, method="POST")
+    return urllib.request.urlopen(req, timeout=120)
+
+
+def test_healthz_ready(live_server):
+    with urllib.request.urlopen(live_server + "/healthz") as resp:
+        assert resp.status == 200
+        meta = json.loads(resp.read())
+    assert meta["status"] == "ok"
+    assert meta["model"] == "srgan"
+    assert meta["input_shape"] == [2, 16, 16, 3]
+    assert meta["scale"] == 4
+
+
+def test_metadata_matches_sidecar(live_server):
+    with urllib.request.urlopen(live_server + "/metadata") as resp:
+        meta = json.loads(resp.read())
+    assert meta["output_shape"] == [2, 64, 64, 3]
+    assert meta["compute_dtype"] == "float32"
+
+
+def test_upscale_roundtrip_exact_shape(live_server):
+    with _post(live_server + "/upscale", _png_bytes(16, 16)) as resp:
+        assert resp.status == 200
+        assert resp.headers["Content-Type"] == "image/png"
+        out = Image.open(io.BytesIO(resp.read()))
+    assert out.size == (64, 64)
+
+
+def test_upscale_arbitrary_size_tiles(live_server):
+    with _post(live_server + "/upscale", _png_bytes(20, 24, 1)) as resp:
+        out = Image.open(io.BytesIO(resp.read()))
+    assert out.size == (96, 80)  # PIL size is (W, H)
+
+
+def test_upscale_overlap_override(live_server):
+    with _post(
+        live_server + "/upscale?overlap=4", _png_bytes(20, 24, 2)
+    ) as resp:
+        out = Image.open(io.BytesIO(resp.read()))
+    assert out.size == (96, 80)
+
+
+def test_bad_image_is_400(live_server):
+    with pytest.raises(urllib.error.HTTPError) as exc_info:
+        _post(live_server + "/upscale", b"this is not an image")
+    assert exc_info.value.code == 400
+    assert "error" in json.loads(exc_info.value.read())
+
+
+def test_bad_overlap_is_400(live_server):
+    with pytest.raises(urllib.error.HTTPError) as exc_info:
+        _post(live_server + "/upscale?overlap=nope", _png_bytes(16, 16))
+    assert exc_info.value.code == 400
+
+
+def test_empty_body_is_400(live_server):
+    with pytest.raises(urllib.error.HTTPError) as exc_info:
+        _post(live_server + "/upscale", b"")
+    assert exc_info.value.code == 400
+
+
+def test_unknown_route_is_404(live_server):
+    with pytest.raises(urllib.error.HTTPError) as exc_info:
+        urllib.request.urlopen(live_server + "/nope", timeout=30)
+    assert exc_info.value.code == 404
+
+
+def test_cli_has_serve_subcommand():
+    from torchsr_tpu.cli import parse_args
+
+    args = parse_args(["serve", "model.shlo", "--port", "0"])
+    assert args.function == "serve"
+    assert args.artifact == "model.shlo"
+    assert args.port == 0
+    assert args.host == "127.0.0.1"

@@ -306,6 +306,31 @@ def parse_args(argv: list[str] | None = None) -> Namespace:
         help="Unused at export; accepted for CLI compatibility.",
     )
 
+    serve = commands.add_parser(
+        "serve",
+        help="Run an HTTP serving daemon around a StableHLO artifact: "
+             "POST /upscale (image in, 4x PNG out, any frame size via "
+             "tiling), GET /healthz (readiness-gated), GET /metadata. "
+             "Stdlib-only transport; see docs/deployment.md.",
+    )
+    serve.add_argument(
+        "artifact", type=str,
+        help="Serving artifact produced by `torchsr export`.",
+    )
+    serve.add_argument(
+        "--host", type=str, default="127.0.0.1",
+        help="Bind address (0.0.0.0 to accept fleet traffic).",
+    )
+    serve.add_argument(
+        "--port", type=int, default=8765,
+        help="Bind port (0 = ephemeral, printed at startup).",
+    )
+    serve.add_argument(
+        "--tile-overlap", type=nonnegative_integer, default=0,
+        help="Halo overlap in LR pixels for frames that tile through "
+             "the artifact (0 = the serving default).",
+    )
+
     ev = commands.add_parser(
         "eval",
         help="Score a trained generator on a directory of HR images "
@@ -471,6 +496,12 @@ def main(argv: list[str] | None = None) -> None:
         model_cls = select_test_model(args)
         out = run_export(args, model_cls)
         print(f"Saved serving artifact to {out}")
+        return
+
+    if args.function == "serve":
+        from torchsr_tpu.infer.server import run_server
+
+        run_server(args)
         return
 
     if args.function == "interp":
