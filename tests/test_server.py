@@ -122,6 +122,81 @@ def test_unknown_route_is_404(live_server):
     assert exc_info.value.code == 404
 
 
+def test_upscale_jpeg_format(live_server):
+    with _post(
+        live_server + "/upscale?format=jpeg&quality=90",
+        _png_bytes(16, 16, 3),
+    ) as resp:
+        assert resp.headers["Content-Type"] == "image/jpeg"
+        out = Image.open(io.BytesIO(resp.read()))
+    assert out.format == "JPEG"
+    assert out.size == (64, 64)
+
+
+def test_bad_format_is_400(live_server):
+    with pytest.raises(urllib.error.HTTPError) as exc_info:
+        _post(live_server + "/upscale?format=tiff", _png_bytes(16, 16))
+    assert exc_info.value.code == 400
+
+
+@pytest.fixture(scope="module")
+def checkpoint_server(tmp_path_factory):
+    """Checkpoint-backed daemon: the live-generator fast path."""
+    import os
+
+    from torchsr_tpu.infer.server import (
+        CheckpointUpscaleService,
+        make_server,
+    )
+    from torchsr_tpu.utils.checkpoint import save_checkpoint
+
+    root = tmp_path_factory.mktemp("ckpt_server")
+    gen = SRGANGenerator(num_residual=1)
+    variables = gen.init(
+        jax.random.PRNGKey(7), jnp.zeros((1, 8, 8, 3)), train=False
+    )
+    path = str(root / "srgan-gan-best.ckpt")
+    save_checkpoint(
+        path, 1, "gan", jax.tree.map(np.asarray, dict(variables))
+    )
+    service = CheckpointUpscaleService(
+        model="srgan", checkpoint=path, tile=16, tile_batch=2,
+    )
+    server = make_server(port=0, service=service, warmup=True)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    yield base
+    server.shutdown()
+    server.server_close()
+
+
+def test_checkpoint_backend_healthz(checkpoint_server):
+    with urllib.request.urlopen(checkpoint_server + "/healthz") as resp:
+        assert resp.status == 200
+        meta = json.loads(resp.read())
+    assert meta["backend"] == "checkpoint"
+    assert meta["model"] == "srgan"
+    # the test backend is CPU, so the amp policy resolves to f32
+    assert meta["compute_dtype"] == "float32"
+
+
+def test_checkpoint_backend_upscale(checkpoint_server):
+    with _post(
+        checkpoint_server + "/upscale", _png_bytes(20, 24, 5)
+    ) as resp:
+        out = Image.open(io.BytesIO(resp.read()))
+    assert out.size == (96, 80)
+
+
+def test_checkpoint_backend_metadata(checkpoint_server):
+    with urllib.request.urlopen(
+        checkpoint_server + "/metadata"
+    ) as resp:
+        meta = json.loads(resp.read())
+    assert meta["tile"] == 16 and meta["tile_batch"] == 2
+
+
 def test_cli_has_serve_subcommand():
     from torchsr_tpu.cli import parse_args
 
@@ -130,3 +205,9 @@ def test_cli_has_serve_subcommand():
     assert args.artifact == "model.shlo"
     assert args.port == 0
     assert args.host == "127.0.0.1"
+    # checkpoint backend: artifact omitted
+    args = parse_args(["serve", "--model", "srgan", "--tile", "32"])
+    assert args.artifact is None and args.tile == 32
+    # both backends at once is a usage error
+    with pytest.raises(SystemExit):
+        parse_args(["serve", "m.shlo", "--checkpoint", "x.ckpt"])

@@ -314,8 +314,12 @@ def parse_args(argv: list[str] | None = None) -> Namespace:
              "Stdlib-only transport; see docs/deployment.md.",
     )
     serve.add_argument(
-        "artifact", type=str,
-        help="Serving artifact produced by `torchsr export`.",
+        "artifact", type=str, nargs="?", default=None,
+        help="Serving artifact produced by `torchsr export` (portable "
+             "StableHLO backend). Omit to serve a checkpoint through "
+             "the live generator instead — the measured-fast path "
+             "(params as jit arguments, fused Pallas RDB on TPU; see "
+             "docs/deployment.md for the measured gap).",
     )
     serve.add_argument(
         "--host", type=str, default="127.0.0.1",
@@ -328,7 +332,31 @@ def parse_args(argv: list[str] | None = None) -> Namespace:
     serve.add_argument(
         "--tile-overlap", type=nonnegative_integer, default=0,
         help="Halo overlap in LR pixels for frames that tile through "
-             "the artifact (0 = the serving default).",
+             "the fixed-shape program (0 = the serving default).",
+    )
+    serve.add_argument(
+        "--model", type=str, default=MODEL, choices=MODEL_NAMES,
+        help="Checkpoint backend: model architecture.",
+    )
+    serve.add_argument(
+        "--checkpoint", type=str,
+        help="Checkpoint backend: explicit path (.ckpt or reference "
+             ".pth); defaults to {model}-gan-best in the working "
+             "directory.",
+    )
+    serve.add_argument(
+        "--tile", type=nonnegative_integer, default=0,
+        help="Checkpoint backend: serving tile size (0 = the measured "
+             "per-model default: 64 ESRGAN / 128 SRGAN).",
+    )
+    serve.add_argument(
+        "--tile-batch", type=positive_integer, default=16,
+        help="Checkpoint backend: tiles per generator forward.",
+    )
+    serve.add_argument(
+        "--disable-amp", action="store_true",
+        help="Checkpoint backend: serve in float32 (default bfloat16 "
+             "on TPU, float32 elsewhere).",
     )
 
     ev = commands.add_parser(
@@ -446,6 +474,14 @@ def parse_args(argv: list[str] | None = None) -> Namespace:
             "artifact's compute precision is baked in at export time "
             "(score the checkpoint with --bf16, or export and score "
             "the artifact as-is)"
+        )
+    if (
+        getattr(args, "function", "") == "serve"
+        and args.artifact and args.checkpoint
+    ):
+        parser.error(
+            "pass either a serving-artifact path or --checkpoint, "
+            "not both"
         )
     return args
 

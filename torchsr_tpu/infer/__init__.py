@@ -1,8 +1,10 @@
 """Inference: single-shot, tiled, mesh-sharded tiled, spatially-
-sharded halo-exchange upscaling, and StableHLO serving artifacts."""
+sharded halo-exchange upscaling, StableHLO serving artifacts, and the
+HTTP serving daemon."""
 
 from torchsr_tpu.infer.halo import halo_upscale, make_spatial_mesh
 from torchsr_tpu.infer.multichip import tiled_upscale_sharded
+from torchsr_tpu.infer.server import UpscaleService, make_server
 from torchsr_tpu.infer.serving import (
     ServedGenerator,
     export_generator_artifact,
@@ -17,4 +19,6 @@ __all__ = [
     "make_spatial_mesh",
     "ServedGenerator",
     "export_generator_artifact",
+    "UpscaleService",
+    "make_server",
 ]

@@ -1,30 +1,49 @@
-"""`torchsr serve`: an HTTP daemon around a StableHLO serving artifact.
+"""`torchsr serve`: an HTTP daemon around a trained super-resolver.
 
 The deployment story so far ends at `ServedGenerator` — a Python
 object.  Production fleets want a process: something a container
 entrypoint starts, a load balancer health-checks, and clients POST
 images at.  This module is that process, built entirely on the
 standard library (`http.server`) so the serving image needs nothing
-beyond JAX + Pillow + numpy — not flax, not the model code, not the
-checkpoint machinery (the artifact bakes the weights and the lowered
-compute graph; see infer/serving.py).
+beyond JAX + Pillow + numpy.
 
 The reference has no serving story at all (its test.py re-launches
 Python and re-loads the .pth per image, reference test.py:22-63); this
 is the TPU-native endpoint beyond that.
 
+Two backends, one endpoint surface:
+
+- **Artifact-backed** (`torchsr serve model.shlo`): loads a StableHLO
+  serving artifact — no flax/model code on the serving path, maximum
+  portability.  Caveat, measured on the dev TPU runtime
+  (tools/bench_serve_http.py): the artifact bakes weights as
+  *constants* and pins the pure-XLA ESRGAN lowering, and on runtimes
+  that re-materialize compiled-in constants per call (this repo's
+  measured ~300x-class pathology, CLAUDE.md) the artifact path served
+  1080p->4K ESRGAN at **1.7 MP/s vs 17.6 MP/s** for the live
+  generator.  On a production PJRT runtime constants stay
+  device-resident and the gap should collapse to the fused-kernel
+  delta (~1.5x) — measure on your fleet before choosing.
+- **Checkpoint-backed** (`torchsr serve --checkpoint x --model
+  esrgan`): loads the checkpoint into the live generator — params
+  ride as jit arguments, the fused Pallas RDB kernel stays active on
+  TPU, bf16 serving dtype by default.  The fast path on every runtime
+  measured here.
+
 Endpoints:
 
-- ``GET /healthz``  — liveness + artifact metadata (model, shapes,
-  compute dtype).  Returns 200 once the warmup forward has completed,
-  503 before that, so rollouts gate on readiness and the first client
-  request never pays the XLA compile.
-- ``GET /metadata`` — the artifact's JSON sidecar, verbatim.
+- ``GET /healthz``  — liveness + backend metadata.  200 once the
+  warmup forward has completed, 503 before that, so rollouts gate on
+  readiness and the first client request never pays the XLA compile.
+- ``GET /metadata`` — backend metadata (artifact sidecar, or the
+  checkpoint serving configuration), verbatim JSON.
 - ``POST /upscale`` — request body: an encoded image (PNG/JPEG/
-  anything Pillow decodes).  Response: the 4x super-resolved image as
-  PNG.  Frames of any size run through the artifact's fixed-shape
-  program via overlap-blend tiling (``?overlap=N`` overrides the halo
-  in LR pixels).
+  anything Pillow decodes).  Response: the 4x super-resolved image,
+  PNG by default; ``?format=jpeg`` (optional ``&quality=N``, default
+  92) trades exactness for a much cheaper encode + smaller response —
+  a 4K PNG encode costs whole seconds of host CPU, often more than
+  the TPU spent upscaling.  ``?overlap=N`` overrides the tiling halo
+  in LR pixels.
 
 Concurrency: a ``ThreadingHTTPServer`` keeps decode/encode and slow
 clients off the compute path, while a single lock serializes the
@@ -43,23 +62,77 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
 
+_FORMATS = {"png": "PNG", "jpeg": "JPEG", "jpg": "JPEG"}
 
-class UpscaleService:
-    """The model side of the server: owns the artifact and the
-    single-admission device lock; transport-agnostic (the tests drive
-    it directly, the HTTP handler wraps it)."""
+
+class _Service:
+    """Transport-agnostic core: decode -> locked device call -> encode.
+    Subclasses implement ``_upscale(uint8 HWC) -> uint8 HWC`` (the
+    [0,1]->255 rounding happens ON DEVICE so the host transfer moves
+    uint8, 4x less than the f32 frame — the transfer dominates request
+    latency on PCIe/tunneled runtimes) and ``warmup()``, and populate
+    ``meta``."""
+
+    def __init__(self, overlap: int | None = None):
+        self.overlap = overlap
+        self._lock = threading.Lock()
+        self.ready = False
+        self.meta: dict = {}
+
+    def _upscale(self, arr: np.ndarray, overlap: int | None) -> np.ndarray:
+        raise NotImplementedError
+
+    def warmup(self) -> None:
+        raise NotImplementedError
+
+    def upscale_bytes(
+        self,
+        body: bytes,
+        overlap: int | None = None,
+        fmt: str = "png",
+        quality: int = 92,
+    ) -> tuple[bytes, str]:
+        """Decode ``body``, super-resolve, encode; returns
+        ``(payload, content_type)``."""
+        from PIL import Image
+
+        pil_fmt = _FORMATS.get(fmt.lower())
+        if pil_fmt is None:
+            raise ValueError(
+                f"unsupported format {fmt!r} (use png or jpeg)"
+            )
+        img = Image.open(io.BytesIO(body)).convert("RGB")
+        arr = np.asarray(img, np.uint8)
+        with self._lock:
+            sr = self._upscale(
+                arr, overlap if overlap is not None else self.overlap
+            )
+        out = Image.fromarray(np.asarray(sr, np.uint8))
+        buf = io.BytesIO()
+        if pil_fmt == "JPEG":
+            out.save(buf, format="JPEG", quality=int(quality))
+            return buf.getvalue(), "image/jpeg"
+        out.save(buf, format="PNG")
+        return buf.getvalue(), "image/png"
+
+    # kept for back-compat with early adopters of the module API
+    def upscale_png(self, body: bytes, overlap: int | None = None) -> bytes:
+        return self.upscale_bytes(body, overlap=overlap, fmt="png")[0]
+
+
+class UpscaleService(_Service):
+    """Artifact-backed service around a StableHLO blob."""
 
     def __init__(self, artifact_path: str, overlap: int | None = None):
         from torchsr_tpu.infer.serving import ServedGenerator
 
+        super().__init__(overlap)
         self.generator = ServedGenerator(artifact_path)
-        self.overlap = overlap
-        self._lock = threading.Lock()
-        self.ready = False
+        self.meta = {"backend": "artifact", **self.generator.meta}
 
     def warmup(self) -> None:
-        """Run one forward at the export shape so the XLA compile (and
-        any platform lowering) happens before the first request."""
+        """One forward at the export shape so the XLA compile (and any
+        platform lowering) happens before the first request."""
         import jax.numpy as jnp
 
         b, h, w, c = self.generator.input_shape
@@ -67,25 +140,101 @@ class UpscaleService:
         np.asarray(self.generator(x))  # block until executed
         self.ready = True
 
-    def upscale_png(self, body: bytes, overlap: int | None = None) -> bytes:
-        """Decode ``body``, super-resolve, return PNG bytes."""
-        from PIL import Image
-
-        img = Image.open(io.BytesIO(body)).convert("RGB")
-        arr = np.asarray(img, np.uint8)
-        with self._lock:
-            sr = self.generator.upscale_image(
-                arr, overlap=overlap if overlap is not None else self.overlap
-            )
-        out = Image.fromarray(
-            (np.clip(sr, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+    def _upscale(self, arr: np.ndarray, overlap: int | None) -> np.ndarray:
+        return self.generator.upscale_image(
+            arr, overlap=overlap, quantize_u8=True
         )
-        buf = io.BytesIO()
-        out.save(buf, format="PNG")
-        return buf.getvalue()
 
 
-def _make_handler(service: UpscaleService):
+# tile sizes measured fastest per model (docs/benchmarks.md: ESRGAN
+# 64px tiles beat 128px 1.53x with the fused kernel; SRGAN runs 128)
+_DEFAULT_TILE = {"esrgan": 64, "srgan": 128}
+
+
+class CheckpointUpscaleService(_Service):
+    """Checkpoint-backed service: the live generator with params as
+    jit arguments (never compiled-in constants) and the fused Pallas
+    RDB kernel active on TPU — the measured-fast serving path."""
+
+    def __init__(
+        self,
+        model: str,
+        checkpoint: str | None = None,
+        tile: int = 0,
+        tile_batch: int = 16,
+        overlap: int | None = None,
+        disable_amp: bool = False,
+    ):
+        from argparse import Namespace
+
+        import jax
+
+        from torchsr_tpu.infer.runner import (
+            load_trained_generator,
+            resolve_compute_dtype,
+        )
+        from torchsr_tpu.registry import select_test_model
+
+        super().__init__(overlap)
+        model = model.lower()
+        args = Namespace(
+            model=model, checkpoint=checkpoint,
+            disable_amp=disable_amp,
+        )
+        generator_cls = select_test_model(args)
+        dtype = resolve_compute_dtype(args)
+        self._generator, self._variables = load_trained_generator(
+            args, generator_cls, dtype=dtype,
+        )
+        self._infer = jax.jit(
+            lambda v, batch: self._generator.apply(
+                v, batch, train=False
+            )
+        )
+        self.tile = int(tile) or _DEFAULT_TILE.get(model, 64)
+        self.tile_batch = int(tile_batch)
+        self.scale = 4
+        self.meta = {
+            "backend": "checkpoint",
+            "model": model,
+            "checkpoint": checkpoint or f"{model}-gan-best",
+            "scale": self.scale,
+            "tile": self.tile,
+            "tile_batch": self.tile_batch,
+            "compute_dtype": np.dtype(dtype).name,
+        }
+
+    def warmup(self) -> None:
+        """Compile the tiled executable on a tile-sized dummy frame."""
+        dummy = np.zeros(
+            (self.tile + 8, self.tile + 8, 3), np.uint8
+        )
+        self._upscale(dummy, self.overlap)
+        self.ready = True
+
+    def _upscale(self, arr: np.ndarray, overlap: int | None) -> np.ndarray:
+        import jax.numpy as jnp
+
+        from torchsr_tpu.infer.tiled import tiled_upscale
+
+        if overlap is None:
+            overlap = 8
+        overlap = min(int(overlap), self.tile - 1)
+        x = jnp.asarray(
+            np.asarray(arr, np.float32) / np.float32(255.0), jnp.float32
+        )
+        out = tiled_upscale(
+            self._infer, x, scale=self.scale, tile=self.tile,
+            overlap=overlap, tile_batch=self.tile_batch,
+            params=self._variables,
+        )
+        # round to uint8 on device: the host transfer is the latency
+        # tail, and uint8 is 4x less than the f32 frame
+        u8 = (jnp.clip(out, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
+        return np.asarray(u8)
+
+
+def _make_handler(service: _Service):
     class Handler(BaseHTTPRequestHandler):
         # quiet per-request stderr chatter; errors still surface in
         # responses
@@ -108,17 +257,19 @@ def _make_handler(service: UpscaleService):
             path = self.path.split("?", 1)[0]
             if path == "/healthz":
                 code = 200 if service.ready else 503
+                meta = service.meta
                 self._send_json(code, {
                     "status": "ok" if service.ready else "warming up",
-                    "model": service.generator.meta.get("model", ""),
-                    "input_shape": list(service.generator.input_shape),
-                    "scale": service.generator.scale,
-                    "compute_dtype": service.generator.meta.get(
+                    "backend": meta.get("backend", "artifact"),
+                    "model": meta.get("model", ""),
+                    "input_shape": meta.get("input_shape"),
+                    "scale": meta.get("scale"),
+                    "compute_dtype": meta.get(
                         "compute_dtype", "float32"
                     ),
                 })
             elif path == "/metadata":
-                self._send_json(200, service.generator.meta)
+                self._send_json(200, service.meta)
             else:
                 self._send_json(404, {"error": f"no route {path}"})
 
@@ -131,41 +282,54 @@ def _make_handler(service: UpscaleService):
                 self._send_json(503, {"error": "warming up"})
                 return
             overlap = None
+            fmt = "png"
+            quality = 92
             for part in query.split("&"):
-                if part.startswith("overlap="):
-                    try:
-                        overlap = int(part.split("=", 1)[1])
-                    except ValueError:
-                        self._send_json(
-                            400, {"error": f"bad overlap {part!r}"}
-                        )
-                        return
+                key, _, value = part.partition("=")
+                try:
+                    if key == "overlap":
+                        overlap = int(value)
+                    elif key == "quality":
+                        quality = int(value)
+                    elif key == "format":
+                        fmt = value
+                except ValueError:
+                    self._send_json(400, {"error": f"bad {part!r}"})
+                    return
             length = int(self.headers.get("Content-Length", 0))
             if length <= 0:
                 self._send_json(400, {"error": "empty request body"})
                 return
             body = self.rfile.read(length)
             try:
-                png = service.upscale_png(body, overlap=overlap)
-            except Exception as exc:  # undecodable image, bad overlap
+                payload, ctype = service.upscale_bytes(
+                    body, overlap=overlap, fmt=fmt, quality=quality
+                )
+            except Exception as exc:  # undecodable image, bad params
                 self._send_json(400, {"error": str(exc)})
                 return
-            self._send(200, png, "image/png")
+            self._send(200, payload, ctype)
 
     return Handler
 
 
 def make_server(
-    artifact_path: str,
+    artifact_path: str | None = None,
     host: str = "127.0.0.1",
     port: int = 8765,
     overlap: int | None = None,
     warmup: bool = True,
+    service: _Service | None = None,
 ) -> ThreadingHTTPServer:
     """Build (and warm up) the HTTP server; caller runs
-    ``serve_forever()``.  ``port=0`` binds an ephemeral port
+    ``serve_forever()``.  Pass either ``artifact_path`` (artifact
+    backend) or a prebuilt ``service`` (e.g.
+    ``CheckpointUpscaleService``).  ``port=0`` binds an ephemeral port
     (``server.server_address[1]`` reports it) — used by the tests."""
-    service = UpscaleService(artifact_path, overlap=overlap)
+    if service is None:
+        if artifact_path is None:
+            raise ValueError("need an artifact_path or a service")
+        service = UpscaleService(artifact_path, overlap=overlap)
     server = ThreadingHTTPServer(
         (host, port), _make_handler(service)
     )
@@ -176,18 +340,31 @@ def make_server(
 
 
 def run_server(args) -> None:
-    """The ``serve`` subcommand: block serving ``args.artifact``."""
+    """The ``serve`` subcommand: block serving ``args.artifact`` or
+    ``args.checkpoint``/default checkpoint."""
+    overlap = args.tile_overlap if args.tile_overlap else None
+    if getattr(args, "artifact", None):
+        service: _Service = UpscaleService(
+            args.artifact, overlap=overlap
+        )
+        what = f"artifact {args.artifact}"
+    else:
+        service = CheckpointUpscaleService(
+            model=args.model,
+            checkpoint=getattr(args, "checkpoint", None),
+            tile=getattr(args, "tile", 0),
+            tile_batch=getattr(args, "tile_batch", 16),
+            overlap=overlap,
+            disable_amp=getattr(args, "disable_amp", False),
+        )
+        what = f"checkpoint {service.meta['checkpoint']}"
     server = make_server(
-        args.artifact, host=args.host, port=args.port,
-        overlap=args.tile_overlap if args.tile_overlap else None,
-        warmup=True,
+        host=args.host, port=args.port, service=service, warmup=True,
     )
     host, port = server.server_address[:2]
-    meta = server.service.generator.meta
     print(
-        f"Serving {meta.get('model', 'model')} artifact "
-        f"{args.artifact} on http://{host}:{port} "
-        f"(POST /upscale, GET /healthz)"
+        f"Serving {service.meta.get('model', 'model')} {what} "
+        f"on http://{host}:{port} (POST /upscale, GET /healthz)"
     )
     try:
         server.serve_forever()
