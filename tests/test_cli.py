@@ -110,6 +110,17 @@ def test_cli_train_then_test(image_dir, tmp_path, monkeypatch):
     out3 = np.asarray(Image.open("upres-input.png"))
     assert out3.shape == (160, 192, 3)
 
+    # sharded-tile path (tile batch shard_map'd over the 8 devices)
+    # matches the single-device tiled output up to uint8 rounding
+    main([
+        "test", "input.png", "--model", "srgan",
+        "--shard-tiles", "--tile", "32", "--tile-overlap", "8",
+        "--tile-batch", "8",
+    ])
+    out4 = np.asarray(Image.open("upres-input.png"))
+    assert out4.shape == (160, 192, 3)
+    assert np.all(np.abs(out4.astype(int) - out2.astype(int)) <= 1)
+
     # directory-batch mode: every supported image in the directory is
     # upscaled with the one loaded generator
     os.makedirs("frames", exist_ok=True)

@@ -140,14 +140,8 @@ def test_bad_format_is_400(live_server):
 
 
 @pytest.fixture(scope="module")
-def checkpoint_server(tmp_path_factory):
-    """Checkpoint-backed daemon: the live-generator fast path."""
-    import os
-
-    from torchsr_tpu.infer.server import (
-        CheckpointUpscaleService,
-        make_server,
-    )
+def ckpt_path(tmp_path_factory):
+    """A tiny trained-shape SRGAN checkpoint on disk."""
     from torchsr_tpu.utils.checkpoint import save_checkpoint
 
     root = tmp_path_factory.mktemp("ckpt_server")
@@ -159,8 +153,19 @@ def checkpoint_server(tmp_path_factory):
     save_checkpoint(
         path, 1, "gan", jax.tree.map(np.asarray, dict(variables))
     )
+    return path
+
+
+@pytest.fixture(scope="module")
+def checkpoint_server(ckpt_path):
+    """Checkpoint-backed daemon: the live-generator fast path."""
+    from torchsr_tpu.infer.server import (
+        CheckpointUpscaleService,
+        make_server,
+    )
+
     service = CheckpointUpscaleService(
-        model="srgan", checkpoint=path, tile=16, tile_batch=2,
+        model="srgan", checkpoint=ckpt_path, tile=16, tile_batch=2,
     )
     server = make_server(port=0, service=service, warmup=True)
     thread = threading.Thread(target=server.serve_forever, daemon=True)
@@ -195,6 +200,48 @@ def test_checkpoint_backend_metadata(checkpoint_server):
     ) as resp:
         meta = json.loads(resp.read())
     assert meta["tile"] == 16 and meta["tile_batch"] == 2
+
+
+def test_shard_tiles_service_matches_unsharded(ckpt_path):
+    """shard_tiles=True (tile batch shard_map'd over the 8 virtual
+    devices) returns the same uint8 frame as the single-device tiled
+    path, up to the rounding flips float reassociation can cause."""
+    from torchsr_tpu.infer.server import CheckpointUpscaleService
+
+    base = CheckpointUpscaleService(
+        model="srgan", checkpoint=ckpt_path, tile=16, tile_batch=8,
+    )
+    sharded = CheckpointUpscaleService(
+        model="srgan", checkpoint=ckpt_path, tile=16, tile_batch=8,
+        shard_tiles=True,
+    )
+    assert sharded.meta["shard_devices"] == 8
+    assert base.meta["shard_devices"] == 1
+    rng = np.random.default_rng(3)
+    frame = rng.integers(0, 256, (24, 40, 3), dtype=np.uint8)
+    a = base._upscale(frame, None)
+    b = sharded._upscale(frame, None)
+    assert a.shape == b.shape == (96, 160, 3)
+    assert a.dtype == b.dtype == np.uint8
+    assert np.all(np.abs(a.astype(int) - b.astype(int)) <= 1)
+    assert np.mean(a == b) > 0.99
+
+
+def test_shard_tiles_cli_flags():
+    from torchsr_tpu.cli import parse_args
+
+    args = parse_args(["serve", "--model", "srgan", "--shard-tiles"])
+    assert args.shard_tiles and args.artifact is None
+    args = parse_args(["test", "img.png", "--shard-tiles"])
+    assert args.shard_tiles
+    # artifact backend cannot shard (one opaque compiled program)
+    with pytest.raises(SystemExit):
+        parse_args(["serve", "m.shlo", "--shard-tiles"])
+    # the two multi-device inference strategies are exclusive
+    with pytest.raises(SystemExit):
+        parse_args(
+            ["test", "img.png", "--shard-tiles", "--spatial-shard"]
+        )
 
 
 def test_cli_has_serve_subcommand():

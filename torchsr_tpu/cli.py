@@ -254,6 +254,13 @@ def parse_args(argv: list[str] | None = None) -> Namespace:
              "see infer/halo.py). Uses --tile-overlap as the halo.",
     )
     test.add_argument(
+        "--shard-tiles", action="store_true",
+        help="Shard the tiled-inference tile batch over all devices "
+             "(shard_map, zero collectives in the forward; see "
+             "infer/multichip.py). Implies tiling: --tile defaults to "
+             "the measured per-model serving tile when unset.",
+    )
+    test.add_argument(
         "--disable-amp", action="store_true",
         help="Run the generator forward in float32 (default: bfloat16 "
              "on TPU — the benchmarked configuration — float32 "
@@ -357,6 +364,12 @@ def parse_args(argv: list[str] | None = None) -> Namespace:
         "--disable-amp", action="store_true",
         help="Checkpoint backend: serve in float32 (default bfloat16 "
              "on TPU, float32 elsewhere).",
+    )
+    serve.add_argument(
+        "--shard-tiles", action="store_true",
+        help="Checkpoint backend: shard each frame's tile batch over "
+             "all devices (shard_map over the data mesh; see "
+             "infer/multichip.py) — scale-out serving on a slice.",
     )
 
     ev = commands.add_parser(
@@ -483,6 +496,19 @@ def parse_args(argv: list[str] | None = None) -> Namespace:
             "pass either a serving-artifact path or --checkpoint, "
             "not both"
         )
+    if getattr(args, "shard_tiles", False):
+        if getattr(args, "spatial_shard", False):
+            parser.error(
+                "--shard-tiles and --spatial-shard are alternative "
+                "multi-device strategies; pick one"
+            )
+        if getattr(args, "artifact", None):
+            parser.error(
+                "--shard-tiles needs the checkpoint backend (a "
+                "serving artifact is one opaque compiled program and "
+                "cannot run inside shard_map); drop the artifact "
+                "path and pass --model/--checkpoint"
+            )
     return args
 
 

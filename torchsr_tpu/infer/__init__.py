@@ -4,7 +4,11 @@ HTTP serving daemon."""
 
 from torchsr_tpu.infer.halo import halo_upscale, make_spatial_mesh
 from torchsr_tpu.infer.multichip import tiled_upscale_sharded
-from torchsr_tpu.infer.server import UpscaleService, make_server
+from torchsr_tpu.infer.server import (
+    CheckpointUpscaleService,
+    UpscaleService,
+    make_server,
+)
 from torchsr_tpu.infer.serving import (
     ServedGenerator,
     export_generator_artifact,
@@ -19,6 +23,7 @@ __all__ = [
     "make_spatial_mesh",
     "ServedGenerator",
     "export_generator_artifact",
+    "CheckpointUpscaleService",
     "UpscaleService",
     "make_server",
 ]

@@ -103,8 +103,37 @@ def run_test(args: Namespace, generator_cls) -> str:
 
     infer_jit = jax.jit(infer_fn)
 
+    if getattr(args, "shard_tiles", False):
+        from torchsr_tpu.infer.tiled import DEFAULT_SERVING_TILE
+        from torchsr_tpu.parallel.mesh import make_mesh, replicate
+
+        shard_mesh = make_mesh(getattr(args, "num_devices", None))
+        variables_r = replicate(variables, shard_mesh)
+        shard_tile = getattr(args, "tile", 0) or DEFAULT_SERVING_TILE.get(
+            args.model.lower(), 64
+        )
+
     def upscale_one(path: str) -> np.ndarray:
         image = image_io.load_image(path)
+        if getattr(args, "shard_tiles", False):
+            from torchsr_tpu.infer.multichip import tiled_upscale_sharded
+
+            n_dev = int(shard_mesh.devices.size)
+            sr = tiled_upscale_sharded(
+                infer_fn,
+                variables_r,
+                jnp.asarray(image, jnp.float32) / 255.0,
+                shard_mesh,
+                scale=4,
+                tile=shard_tile,
+                overlap=min(
+                    getattr(args, "tile_overlap", 16), shard_tile - 1
+                ),
+                tile_batch_per_device=max(
+                    1, getattr(args, "tile_batch", 8) // n_dev
+                ),
+            )
+            return np.asarray(jnp.clip(sr, 0.0, 1.0))
         if getattr(args, "spatial_shard", False):
             from torchsr_tpu.infer.halo import (
                 halo_upscale,

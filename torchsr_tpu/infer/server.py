@@ -15,20 +15,19 @@ Two backends, one endpoint surface:
 
 - **Artifact-backed** (`torchsr serve model.shlo`): loads a StableHLO
   serving artifact — no flax/model code on the serving path, maximum
-  portability.  Caveat, measured on the dev TPU runtime
-  (tools/bench_serve_http.py): the artifact bakes weights as
-  *constants* and pins the pure-XLA ESRGAN lowering, and on runtimes
-  that re-materialize compiled-in constants per call (this repo's
-  measured ~300x-class pathology, CLAUDE.md) the artifact path served
-  1080p->4K ESRGAN at **1.7 MP/s vs 17.6 MP/s** for the live
-  generator.  On a production PJRT runtime constants stay
-  device-resident and the gap should collapse to the fused-kernel
-  delta (~1.5x) — measure on your fleet before choosing.
+  portability.  Measured on real v5e (tools/bench_serve_http.py,
+  1080p->4K ESRGAN, device-side protocol): **11.8 MP/s vs 17.7** for
+  the checkpoint backend — the 1.5x gap is the fused Pallas RDB
+  kernel the artifact's pure-XLA lowering gives up.  On the tunneled
+  dev runtime the artifact additionally pays ~5 s/frame of per-call
+  weight-constant re-materialization (visible in readback-per-call
+  tiers only; production PJRT runtimes keep constants resident).
 - **Checkpoint-backed** (`torchsr serve --checkpoint x --model
   esrgan`): loads the checkpoint into the live generator — params
   ride as jit arguments, the fused Pallas RDB kernel stays active on
-  TPU, bf16 serving dtype by default.  The fast path on every runtime
-  measured here.
+  TPU, bf16 serving dtype by default, and ``--shard-tiles`` scales
+  each frame over a multi-chip slice.  The faster path wherever the
+  serving image can carry the model code.
 
 Endpoints:
 
@@ -146,15 +145,16 @@ class UpscaleService(_Service):
         )
 
 
-# tile sizes measured fastest per model (docs/benchmarks.md: ESRGAN
-# 64px tiles beat 128px 1.53x with the fused kernel; SRGAN runs 128)
-_DEFAULT_TILE = {"esrgan": 64, "srgan": 128}
-
-
 class CheckpointUpscaleService(_Service):
     """Checkpoint-backed service: the live generator with params as
     jit arguments (never compiled-in constants) and the fused Pallas
-    RDB kernel active on TPU — the measured-fast serving path."""
+    RDB kernel active on TPU — the measured-fast serving path.
+
+    ``shard_tiles=True`` additionally shards each frame's tile batch
+    over every visible device (shard_map over a 1-D data mesh, zero
+    collectives in the forward; infer/multichip.py) — scale-out
+    serving on a slice, checkpoint backend only (an artifact is one
+    opaque compiled program and cannot run inside shard_map)."""
 
     def __init__(
         self,
@@ -164,6 +164,7 @@ class CheckpointUpscaleService(_Service):
         tile_batch: int = 16,
         overlap: int | None = None,
         disable_amp: bool = False,
+        shard_tiles: bool = False,
     ):
         from argparse import Namespace
 
@@ -186,14 +187,24 @@ class CheckpointUpscaleService(_Service):
         self._generator, self._variables = load_trained_generator(
             args, generator_cls, dtype=dtype,
         )
-        self._infer = jax.jit(
-            lambda v, batch: self._generator.apply(
-                v, batch, train=False
-            )
-        )
-        self.tile = int(tile) or _DEFAULT_TILE.get(model, 64)
+        # one stable callable: _sharded_forward hashes infer_fn as a
+        # static jit argument, so it must be the same object per call
+        def _infer_fn(v, batch):
+            return self._generator.apply(v, batch, train=False)
+
+        self._infer_fn = _infer_fn
+        self._infer = jax.jit(_infer_fn)
+        from torchsr_tpu.infer.tiled import DEFAULT_SERVING_TILE
+
+        self.tile = int(tile) or DEFAULT_SERVING_TILE.get(model, 64)
         self.tile_batch = int(tile_batch)
         self.scale = 4
+        self._mesh = None
+        if shard_tiles:
+            from torchsr_tpu.parallel.mesh import make_mesh, replicate
+
+            self._mesh = make_mesh()
+            self._variables = replicate(self._variables, self._mesh)
         self.meta = {
             "backend": "checkpoint",
             "model": model,
@@ -202,6 +213,9 @@ class CheckpointUpscaleService(_Service):
             "tile": self.tile,
             "tile_batch": self.tile_batch,
             "compute_dtype": np.dtype(dtype).name,
+            "shard_devices": (
+                int(self._mesh.devices.size) if self._mesh else 1
+            ),
         }
 
     def warmup(self) -> None:
@@ -223,11 +237,21 @@ class CheckpointUpscaleService(_Service):
         x = jnp.asarray(
             np.asarray(arr, np.float32) / np.float32(255.0), jnp.float32
         )
-        out = tiled_upscale(
-            self._infer, x, scale=self.scale, tile=self.tile,
-            overlap=overlap, tile_batch=self.tile_batch,
-            params=self._variables,
-        )
+        if self._mesh is not None:
+            from torchsr_tpu.infer.multichip import tiled_upscale_sharded
+
+            n_dev = int(self._mesh.devices.size)
+            out = tiled_upscale_sharded(
+                self._infer_fn, self._variables, x, self._mesh,
+                scale=self.scale, tile=self.tile, overlap=overlap,
+                tile_batch_per_device=max(1, self.tile_batch // n_dev),
+            )
+        else:
+            out = tiled_upscale(
+                self._infer, x, scale=self.scale, tile=self.tile,
+                overlap=overlap, tile_batch=self.tile_batch,
+                params=self._variables,
+            )
         # round to uint8 on device: the host transfer is the latency
         # tail, and uint8 is 4x less than the f32 frame
         u8 = (jnp.clip(out, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
@@ -356,6 +380,7 @@ def run_server(args) -> None:
             tile_batch=getattr(args, "tile_batch", 16),
             overlap=overlap,
             disable_amp=getattr(args, "disable_amp", False),
+            shard_tiles=getattr(args, "shard_tiles", False),
         )
         what = f"checkpoint {service.meta['checkpoint']}"
     server = make_server(

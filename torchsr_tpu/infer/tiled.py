@@ -29,6 +29,12 @@ import jax.numpy as jnp
 import numpy as np
 
 
+# LR tile sizes measured fastest per model on v5e (docs/benchmarks.md:
+# ESRGAN 64px tiles beat 128px 1.53x with the fused RDB kernel active;
+# SRGAN's shallower tower prefers the larger 128px tiles).
+DEFAULT_SERVING_TILE = {"esrgan": 64, "srgan": 128}
+
+
 def _positions(size: int, tile: int, stride: int) -> list[int]:
     """Start offsets covering [0, size) with final tile clamped flush."""
     if size <= tile:
