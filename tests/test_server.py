@@ -202,6 +202,61 @@ def test_checkpoint_backend_metadata(checkpoint_server):
     assert meta["tile"] == 16 and meta["tile_batch"] == 2
 
 
+def test_metrics_endpoint(live_server):
+    _post(live_server + "/upscale", _png_bytes(16, 16, 9)).read()
+    with urllib.request.urlopen(live_server + "/metrics") as resp:
+        m = json.loads(resp.read())
+    assert m["ready"] is True
+    assert m["requests"] >= 1
+    assert m["uptime_s"] > 0
+    assert m["latency_ms_mean"] > 0
+    assert 0 < m["device_ms_mean"] <= m["latency_ms_mean"]
+    before = m["errors"]
+    with pytest.raises(urllib.error.HTTPError):
+        _post(live_server + "/upscale", b"not an image")
+    with urllib.request.urlopen(live_server + "/metrics") as resp:
+        m2 = json.loads(resp.read())
+    assert m2["errors"] == before + 1
+    assert m2["requests"] >= m["requests"]
+
+
+@pytest.mark.slow
+def test_sigterm_graceful_shutdown(ckpt_path, tmp_path):
+    """`torchsr serve` + SIGTERM == drain and exit 0 (what k8s sends)."""
+    import os
+    import pathlib
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    repo = str(pathlib.Path(__file__).resolve().parents[1])
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONUNBUFFERED"] = "1"
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "torchsr_tpu", "serve",
+         "--model", "srgan", "--checkpoint", ckpt_path,
+         "--tile", "16", "--tile-batch", "2", "--port", "0"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        cwd=tmp_path, env=env, text=True,
+    )
+    try:
+        deadline = time.time() + 300
+        for raw in proc.stdout:
+            if "Serving" in raw:
+                break
+            assert time.time() < deadline, "server never became ready"
+        proc.send_signal(signal.SIGTERM)
+        out, _ = proc.communicate(timeout=120)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    assert proc.returncode == 0
+    assert "stopped cleanly" in out
+
+
 def test_shard_tiles_service_matches_unsharded(ckpt_path):
     """shard_tiles=True (tile batch shard_map'd over the 8 virtual
     devices) returns the same uint8 frame as the single-device tiled

@@ -57,6 +57,7 @@ from __future__ import annotations
 import io
 import json
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
@@ -77,6 +78,31 @@ class _Service:
         self._lock = threading.Lock()
         self.ready = False
         self.meta: dict = {}
+        # request counters for GET /metrics (autoscalers/dashboards);
+        # guarded by its own lock so slow device calls never block a
+        # metrics scrape
+        self._stats_lock = threading.Lock()
+        self._started = time.time()
+        self._requests = 0
+        self._errors = 0
+        self._total_ms = 0.0
+        self._device_ms = 0.0
+        self._last_ms = 0.0
+
+    def metrics(self) -> dict:
+        """Counters since startup: request/error totals, mean and last
+        wall latency, the device-locked share of the mean, uptime."""
+        with self._stats_lock:
+            n = self._requests
+            return {
+                "ready": self.ready,
+                "uptime_s": round(time.time() - self._started, 1),
+                "requests": n,
+                "errors": self._errors,
+                "latency_ms_mean": round(self._total_ms / n, 1) if n else None,
+                "latency_ms_last": round(self._last_ms, 1) if n else None,
+                "device_ms_mean": round(self._device_ms / n, 1) if n else None,
+            }
 
     def _upscale(self, arr: np.ndarray, overlap: int | None) -> np.ndarray:
         raise NotImplementedError
@@ -95,24 +121,39 @@ class _Service:
         ``(payload, content_type)``."""
         from PIL import Image
 
-        pil_fmt = _FORMATS.get(fmt.lower())
-        if pil_fmt is None:
-            raise ValueError(
-                f"unsupported format {fmt!r} (use png or jpeg)"
-            )
-        img = Image.open(io.BytesIO(body)).convert("RGB")
-        arr = np.asarray(img, np.uint8)
-        with self._lock:
-            sr = self._upscale(
-                arr, overlap if overlap is not None else self.overlap
-            )
-        out = Image.fromarray(np.asarray(sr, np.uint8))
-        buf = io.BytesIO()
-        if pil_fmt == "JPEG":
-            out.save(buf, format="JPEG", quality=int(quality))
-            return buf.getvalue(), "image/jpeg"
-        out.save(buf, format="PNG")
-        return buf.getvalue(), "image/png"
+        t0 = time.time()
+        try:
+            pil_fmt = _FORMATS.get(fmt.lower())
+            if pil_fmt is None:
+                raise ValueError(
+                    f"unsupported format {fmt!r} (use png or jpeg)"
+                )
+            img = Image.open(io.BytesIO(body)).convert("RGB")
+            arr = np.asarray(img, np.uint8)
+            t_dev = time.time()
+            with self._lock:
+                sr = self._upscale(
+                    arr, overlap if overlap is not None else self.overlap
+                )
+            dev_ms = (time.time() - t_dev) * 1e3
+            out = Image.fromarray(np.asarray(sr, np.uint8))
+            buf = io.BytesIO()
+            if pil_fmt == "JPEG":
+                out.save(buf, format="JPEG", quality=int(quality))
+                payload, ctype = buf.getvalue(), "image/jpeg"
+            else:
+                out.save(buf, format="PNG")
+                payload, ctype = buf.getvalue(), "image/png"
+        except Exception:
+            with self._stats_lock:
+                self._errors += 1
+            raise
+        with self._stats_lock:
+            self._requests += 1
+            self._last_ms = (time.time() - t0) * 1e3
+            self._total_ms += self._last_ms
+            self._device_ms += dev_ms
+        return payload, ctype
 
     # kept for back-compat with early adopters of the module API
     def upscale_png(self, body: bytes, overlap: int | None = None) -> bytes:
@@ -294,6 +335,8 @@ def _make_handler(service: _Service):
                 })
             elif path == "/metadata":
                 self._send_json(200, service.meta)
+            elif path == "/metrics":
+                self._send_json(200, service.metrics())
             else:
                 self._send_json(404, {"error": f"no route {path}"})
 
@@ -386,10 +429,29 @@ def run_server(args) -> None:
     server = make_server(
         host=args.host, port=args.port, service=service, warmup=True,
     )
+    # Graceful drain on SIGTERM (what k8s/docker stop sends): finish
+    # the in-flight request, stop accepting, exit 0 — mirrors the
+    # trainer's preemption story (train/trainer.py SIGTERM handling).
+    # shutdown() must run off the main thread: the signal handler
+    # interrupts serve_forever's own poll loop, and shutdown() blocks
+    # until that loop exits.  Installed BEFORE the readiness print so
+    # a supervisor that signals on first output never hits the default
+    # (kill) disposition.
+    import signal
+
+    def _terminate(signum, frame):
+        threading.Thread(target=server.shutdown, daemon=True).start()
+
+    try:
+        prev = signal.signal(signal.SIGTERM, _terminate)
+    except ValueError:  # not the main thread (library/test use)
+        prev = None
+
     host, port = server.server_address[:2]
     print(
         f"Serving {service.meta.get('model', 'model')} {what} "
-        f"on http://{host}:{port} (POST /upscale, GET /healthz)"
+        f"on http://{host}:{port} (POST /upscale, GET /healthz, "
+        f"GET /metrics)"
     )
     try:
         server.serve_forever()
@@ -397,3 +459,11 @@ def run_server(args) -> None:
         pass
     finally:
         server.server_close()
+        if prev is not None:
+            signal.signal(signal.SIGTERM, prev)
+        stats = service.metrics()
+        print(
+            f"Server stopped cleanly after {stats['requests']} "
+            f"requests ({stats['errors']} errors, up "
+            f"{stats['uptime_s']} s)"
+        )
