@@ -197,6 +197,44 @@ def test_bf16_artifact_f32_boundary(tiny_artifact, tmp_path):
     )
 
 
+def test_native_kernels_validation():
+    """`export --native-kernels` (bakes the Mosaic fused-RDB kernel)
+    rejects non-ESRGAN models, tiles beyond the kernel's VMEM budget,
+    and non-TPU hosts — each with an actionable message, checked
+    before any checkpoint IO."""
+    from argparse import Namespace
+
+    from torchsr_tpu.infer.runner import run_export
+    from torchsr_tpu.models import ESRGANGenerator, SRGANGenerator
+
+    base = dict(
+        output="unused.shlo", checkpoint=None, tile=64, tile_batch=8,
+        platforms="tpu", bf16=False, native_kernels=True,
+    )
+    with pytest.raises(ValueError, match="ESRGAN"):
+        run_export(
+            Namespace(model="srgan", **base), SRGANGenerator
+        )
+    with pytest.raises(ValueError, match="tiles up to"):
+        run_export(
+            Namespace(model="esrgan", **{**base, "tile": 256}),
+            ESRGANGenerator,
+        )
+    # the suite runs on CPU, so the host-backend gate fires last
+    with pytest.raises(RuntimeError, match="TPU host"):
+        run_export(
+            Namespace(model="esrgan", **base), ESRGANGenerator
+        )
+
+
+def test_sidecar_records_native_kernels(tiny_artifact):
+    """Portable exports record native_kernels=False so serving fleets
+    can tell TPU-only Mosaic artifacts from pure StableHLO ones."""
+    path, _gen, _variables = tiny_artifact
+    served = ServedGenerator(path)
+    assert served.meta.get("native_kernels", False) is False
+
+
 @pytest.mark.slow
 def test_cli_export_roundtrip(image_dir, tmp_path, monkeypatch):
     """train -> export -> load artifact without the checkpoint, and

@@ -48,6 +48,11 @@ def main() -> None:
                          "args, fused RDB on TPU); artifact = "
                          "StableHLO blob (portable, weights baked as "
                          "constants)")
+    ap.add_argument("--native-kernels", action="store_true",
+                    help="artifact backend only: bake the fused Pallas "
+                         "RDB kernel into the blob (export "
+                         "--native-kernels; TPU-only Mosaic "
+                         "custom-calls)")
     args = ap.parse_args()
 
     import jax
@@ -66,9 +71,11 @@ def main() -> None:
     if args.model == "esrgan":
         from torchsr_tpu.models import ESRGANGenerator
 
-        # Serving artifacts pin the XLA lowering (infer/runner.py
-        # run_export): no Mosaic custom-calls in the blob.
-        gen = ESRGANGenerator(fused_rdb=False, dtype=dtype)
+        # Portable artifacts pin the XLA lowering (infer/runner.py
+        # run_export); --native-kernels bakes the fused Pallas RDB
+        # (export --native-kernels, TPU-only).
+        fused = bool(args.native_kernels and args.backend == "artifact")
+        gen = ESRGANGenerator(fused_rdb=fused, dtype=dtype)
     else:
         from torchsr_tpu.models import SRGANGenerator
 
@@ -96,8 +103,10 @@ def main() -> None:
             batch=args.tile_batch, scale=4, model=args.model,
             platforms=(platform,),
             compute_dtype="bfloat16" if args.bf16 else "float32",
+            native_kernels=bool(args.native_kernels),
         )
-        print(f"exported {args.model} artifact (tile {args.tile}, "
+        kind = "native-kernel " if args.native_kernels else ""
+        print(f"exported {args.model} {kind}artifact (tile {args.tile}, "
               f"batch {args.tile_batch}, {dtype.__name__}, {platform})")
         from torchsr_tpu.infer.server import UpscaleService
 

@@ -309,6 +309,15 @@ def parse_args(argv: list[str] | None = None) -> Namespace:
              "cost beforehand with `torchsr eval --bf16`.",
     )
     export.add_argument(
+        "--native-kernels", action="store_true",
+        help="Bake the fused Pallas RDB kernel (Mosaic custom-calls) "
+             "into an ESRGAN artifact — the measured 1.5x tiled-serving "
+             "win over the pure-XLA lowering. Requires exporting ON a "
+             "TPU host; restricts --platforms to tpu; the artifact is "
+             "bound to the Mosaic serialization compatibility window "
+             "(pure-StableHLO exports remain the portable default).",
+    )
+    export.add_argument(
         "--seed", type=int, default=0,
         help="Unused at export; accepted for CLI compatibility.",
     )

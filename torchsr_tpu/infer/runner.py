@@ -181,13 +181,41 @@ def run_export(args: Namespace, generator_cls) -> str:
     """The ``export`` subcommand: write a StableHLO serving artifact."""
     from torchsr_tpu.infer.serving import export_generator_artifact
 
-    # Serving artifacts stay pure StableHLO: the fused Pallas RDB
-    # kernel would embed Mosaic custom-calls whose serialization is
-    # toolchain-version-bound, so ESRGAN exports pin the XLA lowering
-    # (identical math; the kernel's 1.6x fwd win is a dev-runtime
-    # property the serving fleet can re-derive locally if it wants).
+    # Serving artifacts default to pure StableHLO: the fused Pallas
+    # RDB kernel embeds Mosaic custom-calls whose serialization is
+    # bound to the Mosaic compatibility window, so portable ESRGAN
+    # exports pin the XLA lowering (identical math).  ``--native-
+    # kernels`` opts into baking the fused kernel for a TPU-only
+    # artifact — the measured 1.5x tiled-serving win (docs/benchmarks.md
+    # "HTTP serving latency": 17.7 vs 11.8 MP/s checkpoint-vs-artifact
+    # was exactly this lowering gap).
+    tile = getattr(args, "tile", 64)
+    native = getattr(args, "native_kernels", False)
+    if native:
+        if args.model.lower() != "esrgan":
+            raise ValueError(
+                "--native-kernels bakes the fused Pallas RDB kernel, "
+                "which only the ESRGAN generator uses; export "
+                f"{args.model} without it (the XLA lowering is already "
+                "its fastest form)."
+            )
+        from torchsr_tpu.ops.pallas.rdb import _MAX_IMAGE_ROWS
+
+        if tile * tile > _MAX_IMAGE_ROWS:
+            raise ValueError(
+                f"--native-kernels supports tiles up to "
+                f"{int(_MAX_IMAGE_ROWS ** 0.5)}px (the fused kernel's "
+                f"VMEM block budget); got --tile {tile}. Export a "
+                f"smaller tile or drop --native-kernels."
+            )
+        if jax.default_backend() != "tpu":
+            raise RuntimeError(
+                "--native-kernels requires exporting on a TPU host: "
+                "the Mosaic kernel lowering dispatches on the host "
+                f"backend (currently {jax.default_backend()!r})."
+            )
     kwargs = (
-        {"fused_rdb": False} if args.model.lower() == "esrgan" else {}
+        {"fused_rdb": native} if args.model.lower() == "esrgan" else {}
     )
     # --bf16 bakes the benchmarked TPU serving precision into the
     # artifact's compute graph; the artifact boundary stays float32
@@ -199,11 +227,14 @@ def run_export(args: Namespace, generator_cls) -> str:
     generator, variables = load_trained_generator(
         args, generator_cls, **kwargs
     )
-    tile = getattr(args, "tile", 64)
     platforms = tuple(
         p.strip() for p in getattr(args, "platforms", "tpu,cpu").split(",")
         if p.strip()
     )
+    if native and platforms != ("tpu",):
+        # Mosaic custom-calls only lower for TPU; restrict rather than
+        # fail — the default --platforms includes cpu for portability.
+        platforms = ("tpu",)
     return export_generator_artifact(
         args.output, generator, variables,
         input_hw=(tile, tile),
@@ -212,4 +243,5 @@ def run_export(args: Namespace, generator_cls) -> str:
         model=args.model.lower(),
         platforms=platforms,
         compute_dtype="bfloat16" if bf16 else "float32",
+        native_kernels=native,
     )

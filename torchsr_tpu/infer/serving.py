@@ -58,6 +58,7 @@ def export_generator_artifact(
     model: str = "",
     platforms: Sequence[str] = ("tpu", "cpu"),
     compute_dtype: str = "float32",
+    native_kernels: bool = False,
 ) -> str:
     """Export ``generator``'s eval forward to ``out_path`` (+ sidecar).
 
@@ -101,6 +102,11 @@ def export_generator_artifact(
         "pixel_range": [0.0, 1.0],
         "platforms": list(exported.platforms),
         "calling_convention": "sr = f(lr_batch)",
+        # True when the graph embeds Mosaic (Pallas) custom-calls: the
+        # artifact is TPU-only and bound to the Mosaic serialization
+        # compatibility window, in exchange for the fused RDB kernel's
+        # measured 1.5x tiled-serving throughput.
+        "native_kernels": bool(native_kernels),
     }
     with open(out_path + SIDECAR_SUFFIX, "w") as fh:
         json.dump(meta, fh, indent=2)
