@@ -235,6 +235,23 @@ def test_sidecar_records_native_kernels(tiny_artifact):
     assert served.meta.get("native_kernels", False) is False
 
 
+def test_platform_mismatch_raises_at_load(tiny_artifact, tmp_path):
+    """Loading a TPU-only artifact on the wrong host fails AT LOAD with
+    an actionable message (not a cryptic platform error at call time) —
+    the failure mode --native-kernels artifacts hit on CPU fleets."""
+    import shutil
+
+    path, _gen, _variables = tiny_artifact
+    blob = str(tmp_path / "tpu_only.shlo")
+    shutil.copy(path, blob)
+    meta = json.load(open(path + ".json"))
+    meta["platforms"] = ["tpu"]
+    meta["native_kernels"] = True
+    json.dump(meta, open(blob + ".json", "w"))
+    with pytest.raises(RuntimeError, match="native-kernels"):
+        ServedGenerator(blob)
+
+
 @pytest.mark.slow
 def test_cli_export_roundtrip(image_dir, tmp_path, monkeypatch):
     """train -> export -> load artifact without the checkpoint, and

@@ -134,6 +134,21 @@ class ServedGenerator:
             }
         self.input_shape = tuple(self.meta["input_shape"])
         self.scale = self.meta.get("scale")
+        platforms = self.meta.get("platforms")
+        backend = jax.default_backend()
+        if platforms and backend not in platforms:
+            hint = (
+                " (exported with --native-kernels: the Mosaic "
+                "custom-calls only run on TPU hosts)"
+                if self.meta.get("native_kernels")
+                else ""
+            )
+            raise RuntimeError(
+                f"serving artifact {path!r} was exported for "
+                f"platform(s) {platforms} but this host's backend is "
+                f"{backend!r}{hint}; re-export with --platforms "
+                f"{backend} or serve on a matching host."
+            )
         self._call = jax.jit(self.exported.call)
 
     def __call__(self, batch_imgs: jnp.ndarray) -> jnp.ndarray:
