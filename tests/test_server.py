@@ -133,6 +133,24 @@ def test_upscale_jpeg_format(live_server):
     assert out.size == (64, 64)
 
 
+def test_upscale_png_compress_level(live_server):
+    """?compress=1 returns a valid (exact) PNG — the cheap-encode knob
+    for small serving hosts; bad values are 400."""
+    with _post(
+        live_server + "/upscale?compress=1", _png_bytes(16, 16, 5)
+    ) as resp:
+        assert resp.headers["Content-Type"] == "image/png"
+        fast = Image.open(io.BytesIO(resp.read()))
+    assert fast.size == (64, 64)
+    with _post(live_server + "/upscale", _png_bytes(16, 16, 5)) as resp:
+        default = Image.open(io.BytesIO(resp.read()))
+    # PNG is lossless at every zlib level: identical pixels
+    assert np.array_equal(np.asarray(fast), np.asarray(default))
+    with pytest.raises(urllib.error.HTTPError) as exc_info:
+        _post(live_server + "/upscale?compress=x", _png_bytes(16, 16))
+    assert exc_info.value.code == 400
+
+
 def test_bad_format_is_400(live_server):
     with pytest.raises(urllib.error.HTTPError) as exc_info:
         _post(live_server + "/upscale?format=tiff", _png_bytes(16, 16))

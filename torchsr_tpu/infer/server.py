@@ -41,8 +41,10 @@ Endpoints:
   PNG by default; ``?format=jpeg`` (optional ``&quality=N``, default
   92) trades exactness for a much cheaper encode + smaller response —
   a 4K PNG encode costs whole seconds of host CPU, often more than
-  the TPU spent upscaling.  ``?overlap=N`` overrides the tiling halo
-  in LR pixels.
+  the TPU spent upscaling; ``?compress=N`` (zlib level 0-9, default 6)
+  keeps PNG exactness but trades response size for encode CPU
+  (level 1: ~30% less encode time, ~9% larger).  ``?overlap=N``
+  overrides the tiling halo in LR pixels.
 
 Concurrency: a ``ThreadingHTTPServer`` keeps decode/encode and slow
 clients off the compute path, while a single lock serializes the
@@ -116,6 +118,7 @@ class _Service:
         overlap: int | None = None,
         fmt: str = "png",
         quality: int = 92,
+        compress: int = 6,
     ) -> tuple[bytes, str]:
         """Decode ``body``, super-resolve, encode; returns
         ``(payload, content_type)``."""
@@ -142,7 +145,12 @@ class _Service:
                 out.save(buf, format="JPEG", quality=int(quality))
                 payload, ctype = buf.getvalue(), "image/jpeg"
             else:
-                out.save(buf, format="PNG")
+                # zlib level: a 4K PNG encode costs whole seconds of a
+                # small serving host; level 1 cuts that ~30% (more on
+                # noisy frames) for ~9% larger responses.  6 = zlib/PIL
+                # default; exposed as ?compress=N.
+                level = min(max(int(compress), 0), 9)
+                out.save(buf, format="PNG", compress_level=level)
                 payload, ctype = buf.getvalue(), "image/png"
         except Exception:
             with self._stats_lock:
@@ -351,6 +359,7 @@ def _make_handler(service: _Service):
             overlap = None
             fmt = "png"
             quality = 92
+            compress = 6
             for part in query.split("&"):
                 key, _, value = part.partition("=")
                 try:
@@ -358,6 +367,8 @@ def _make_handler(service: _Service):
                         overlap = int(value)
                     elif key == "quality":
                         quality = int(value)
+                    elif key == "compress":
+                        compress = int(value)
                     elif key == "format":
                         fmt = value
                 except ValueError:
@@ -370,7 +381,8 @@ def _make_handler(service: _Service):
             body = self.rfile.read(length)
             try:
                 payload, ctype = service.upscale_bytes(
-                    body, overlap=overlap, fmt=fmt, quality=quality
+                    body, overlap=overlap, fmt=fmt, quality=quality,
+                    compress=compress,
                 )
             except Exception as exc:  # undecodable image, bad params
                 self._send_json(400, {"error": str(exc)})
