@@ -63,6 +63,60 @@ def test_eval_artifact_rejects_bf16(capsys):
     parse_args(["eval", "val", "--bf16"])  # alone: fine
 
 
+def test_scale_flag_validation():
+    """--scale: powers of two only, and --crop-size must divide by it."""
+    args = parse_args(["train", "--scale", "2"])
+    assert args.upscale_factor == 2
+    assert parse_args(["train"]).upscale_factor == 4
+    with pytest.raises(SystemExit):
+        parse_args(["train", "--scale", "3"])
+    with pytest.raises(SystemExit):
+        parse_args(["train", "--scale", "8", "--crop-size", "36"])
+    parse_args(["train", "--scale", "8", "--crop-size", "32"])
+
+
+@pytest.mark.slow
+def test_cli_train_scale2_then_test(image_dir, tmp_path, monkeypatch):
+    """End to end at --scale 2: train a tiny SRGAN, then `test` and
+    `export` auto-detect the scale from the checkpoint (no flag)."""
+    monkeypatch.chdir(tmp_path)
+    main([
+        "train",
+        "--train-dir", image_dir,
+        "--model", "srgan",
+        "--scale", "2",
+        "--batch-size", "8",
+        "--epochs", "1",
+        "--pretrain-epochs", "1",
+        "--data-workers", "2",
+        "--seed", "3",
+        "--disable-amp",
+        "--skip-image-save",
+        "--crop-size", "32",
+        "--gen-blocks", "1",
+        "--vgg-convs", "2",
+    ])
+    assert os.path.exists("srgan-gan-best.ckpt")
+
+    rng = np.random.default_rng(0)
+    Image.fromarray(
+        rng.integers(0, 256, (40, 48, 3), dtype=np.uint8)
+    ).save("input.png")
+    main(["test", "input.png", "--model", "srgan"])
+    out = np.asarray(Image.open("upres-input.png"))
+    assert out.shape == (80, 96, 3)  # 2x, auto-detected
+
+    main([
+        "export", "m2.shlo", "--model", "srgan",
+        "--tile", "16", "--tile-batch", "2", "--platforms", "cpu",
+    ])
+    import json
+
+    meta = json.load(open("m2.shlo.json"))
+    assert meta["scale"] == 2
+    assert meta["output_shape"] == [2, 32, 32, 3]
+
+
 @pytest.mark.slow
 def test_cli_train_then_test(image_dir, tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)

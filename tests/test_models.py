@@ -32,6 +32,27 @@ def test_srgan_generator_shapes():
     assert "batch_stats" in variables
 
 
+@pytest.mark.parametrize("scale", [2, 8])
+@pytest.mark.parametrize("gen_cls", [SRGANGenerator, ESRGANGenerator])
+def test_generator_scale_factor(gen_cls, scale):
+    """--scale support: log2(scale) upsample stages, named upsample{i}
+    so inference can re-derive the scale from any checkpoint (the
+    reference hard-codes 4x; SURVEY.md section 2 #9/#14)."""
+    kw = (
+        {"num_residual": 1} if gen_cls is SRGANGenerator
+        else {"num_rrdb_blocks": 1}
+    )
+    g = gen_cls(scale_factor=scale, **kw)
+    x = jnp.zeros((1, 8, 8, 3))
+    variables = g.init(jax.random.PRNGKey(0), x, train=False)
+    y = g.apply(variables, x, train=False)
+    assert y.shape == (1, 8 * scale, 8 * scale, 3)
+    n_up = len(
+        [k for k in variables["params"] if k.startswith("upsample")]
+    )
+    assert 2 ** n_up == scale
+
+
 def test_srgan_generator_param_count():
     g = SRGANGenerator()
     variables = jax.eval_shape(

@@ -187,6 +187,14 @@ def parse_args(argv: list[str] | None = None) -> Namespace:
              "SRGAN, 128 for ESRGAN, matching the reference registry).",
     )
     train.add_argument(
+        "--scale", type=int, default=4, choices=(2, 4, 8),
+        dest="upscale_factor",
+        help="Upscale factor (the reference hard-codes 4x). Sets the "
+             "generator's upsample stage count (log2(scale)) and the "
+             "LR synthesis ratio; test/eval/export/serve auto-detect "
+             "the scale from the checkpoint, no flag needed there.",
+    )
+    train.add_argument(
         "--gen-blocks", type=positive_integer, dest="num_residual",
         help="Override the generator residual-block count (16 for "
              "SRGAN, 23 RRDBs for ESRGAN); smaller = faster/smaller "
@@ -483,6 +491,13 @@ def parse_args(argv: list[str] | None = None) -> Namespace:
 
     # Cross-flag validation, surfaced as argparse errors (exit 2 with
     # usage) instead of shape errors deep inside the tiled kernels.
+    crop = getattr(args, "crop_size", None)
+    upscale = getattr(args, "upscale_factor", 4)
+    if crop and crop % upscale:
+        parser.error(
+            f"--crop-size ({crop}) must be divisible by --scale "
+            f"({upscale}): the LR crop is their quotient"
+        )
     tile = getattr(args, "tile", 0)
     if tile and getattr(args, "tile_overlap", 0) >= tile:
         parser.error(

@@ -90,6 +90,7 @@ def run_eval(args: Namespace, generator_cls) -> dict:
         generator, variables = load_trained_generator(
             args, generator_cls, **dtype_kw
         )
+        scale = generator.scale_factor
 
         def infer_fn(v, batch: jnp.ndarray) -> jnp.ndarray:
             return generator.apply(v, batch, train=False)

@@ -63,16 +63,23 @@ def load_trained_generator(
     params = state.get("params", state)
     batch_stats = state.get("batch_stats", {})
 
-    # Size the generator to the checkpoint (block count is encoded in
-    # the param tree's block{i} entries).
+    # Size the generator to the checkpoint: block count from the
+    # block{i} entries, upscale factor from the upsample stages (each
+    # stage is 2x: SRGAN upsample{i} subpixel convs, ESRGAN
+    # upsample{i} nearest+conv) — so `torchsr train --scale 2|8`
+    # checkpoints load everywhere with no extra flag.
     num_blocks = len([k for k in params if str(k).startswith("block")])
+    n_up = len([k for k in params if str(k).startswith("upsample")])
+    scale = 2 ** n_up if n_up else 4
     if model == "esrgan":
         generator = generator_cls(
-            num_rrdb_blocks=num_blocks or 23, **generator_kwargs
+            num_rrdb_blocks=num_blocks or 23, scale_factor=scale,
+            **generator_kwargs
         )
     else:
         generator = generator_cls(
-            num_residual=num_blocks or 16, **generator_kwargs
+            num_residual=num_blocks or 16, scale_factor=scale,
+            **generator_kwargs
         )
 
     variables = {"params": params}
@@ -124,7 +131,7 @@ def run_test(args: Namespace, generator_cls) -> str:
                 variables_r,
                 jnp.asarray(image, jnp.float32) / 255.0,
                 shard_mesh,
-                scale=4,
+                scale=generator.scale_factor,
                 tile=shard_tile,
                 overlap=min(
                     getattr(args, "tile_overlap", 16), shard_tile - 1
@@ -145,14 +152,14 @@ def run_test(args: Namespace, generator_cls) -> str:
                 variables,
                 jnp.asarray(image, jnp.float32) / 255.0,
                 make_spatial_mesh(),
-                scale=4,
+                scale=generator.scale_factor,
                 overlap=getattr(args, "tile_overlap", 16),
             )
             return np.asarray(jnp.clip(sr, 0.0, 1.0))
         return np.asarray(upscale_image(
             infer_jit,
             image,
-            scale=4,
+            scale=generator.scale_factor,
             tile=getattr(args, "tile", 0) or 0,
             overlap=getattr(args, "tile_overlap", 16),
             tile_batch=getattr(args, "tile_batch", 8),
@@ -239,7 +246,7 @@ def run_export(args: Namespace, generator_cls) -> str:
         args.output, generator, variables,
         input_hw=(tile, tile),
         batch=getattr(args, "tile_batch", 8),
-        scale=4,
+        scale=generator.scale_factor,
         model=args.model.lower(),
         platforms=platforms,
         compute_dtype="bfloat16" if bf16 else "float32",

@@ -247,7 +247,7 @@ class CheckpointUpscaleService(_Service):
 
         self.tile = int(tile) or DEFAULT_SERVING_TILE.get(model, 64)
         self.tile_batch = int(tile_batch)
-        self.scale = 4
+        self.scale = int(self._generator.scale_factor)
         self._mesh = None
         if shard_tiles:
             from torchsr_tpu.parallel.mesh import make_mesh, replicate

@@ -23,6 +23,7 @@ Architecture (identical compute graph to the reference):
 
 from __future__ import annotations
 
+import math
 from typing import Any
 
 import flax.linen as nn
@@ -192,7 +193,11 @@ class _ScanRRDBBody(nn.Module):
 
 
 class ESRGANGenerator(nn.Module):
-    """4x ESRGAN RRDB generator; NHWC in/out, [0, 1] pixel space.
+    """ESRGAN RRDB generator; NHWC in/out, [0, 1] pixel space.
+
+    ``scale_factor`` (power of two; the reference hard-codes 4,
+    esrgan/generator.py:73-78) sets the number of nearest+conv
+    upsample stages to log2(scale).
 
     The RRDB tower is unrolled (345 convs): an nn.scan variant compiles
     much faster but costs significant per-step runtime (measured on the
@@ -200,6 +205,7 @@ class ESRGANGenerator(nn.Module):
     and amortized by the persistent compilation cache.
     """
 
+    scale_factor: int = 4
     num_rrdb_blocks: int = NUM_RESIDUAL
     dtype: Any = None
     # Run the final 3-output-channel HR conv in subpixel space
@@ -254,7 +260,7 @@ class ESRGANGenerator(nn.Module):
         out = Conv(64, (3, 3), dtype=self.dtype, name="conv2")(out)
         out = conv1 + out
 
-        for i in range(2):
+        for i in range(int(math.log2(self.scale_factor))):
             out = nearest_upsample(out, 2)
             out = Conv(64, (3, 3), dtype=self.dtype,
                        name=f"upsample{i + 1}")(out)
@@ -263,7 +269,8 @@ class ESRGANGenerator(nn.Module):
         out = Conv(64, (3, 3), dtype=self.dtype, name="conv3")(out)
         out = leaky_relu(out, 0.2)
         if self.fused_tail:
-            out = SubpixelSpaceConv(3, (3, 3), 4, dtype=self.dtype,
+            out = SubpixelSpaceConv(3, (3, 3), self.scale_factor,
+                                    dtype=self.dtype,
                                     name="conv4")(out)
         else:
             out = Conv(3, (3, 3), dtype=self.dtype, name="conv4")(out)

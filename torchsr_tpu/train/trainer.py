@@ -1240,10 +1240,12 @@ class SRGANTrainer(GANTrainer):
         vgg_convs = getattr(self.args, "vgg_convs", None)
         scan = bool(getattr(self.args, "fast_compile", False))
         self.gen_train = SRGANGenerator(
-            num_residual=blocks, dtype=dtype, scan_blocks=scan
+            num_residual=blocks, dtype=dtype, scan_blocks=scan,
+            scale_factor=self.upscale,
         )
         self.gen_eval = SRGANGenerator(
-            num_residual=blocks, scan_blocks=scan
+            num_residual=blocks, scan_blocks=scan,
+            scale_factor=self.upscale,
         )
         self.disc_train = SRGANDiscriminator(
             image_size=self.crop_size, dtype=dtype
@@ -1288,10 +1290,12 @@ class ESRGANTrainer(GANTrainer):
         self.gen_train = ESRGANGenerator(
             num_rrdb_blocks=blocks, dtype=dtype, mesh=mesh,
             fused_rdb=fused, pallas_interpret=interp, scan_blocks=scan,
+            scale_factor=self.upscale,
         )
         self.gen_eval = ESRGANGenerator(
             num_rrdb_blocks=blocks, mesh=mesh,
             fused_rdb=fused, pallas_interpret=interp, scan_blocks=scan,
+            scale_factor=self.upscale,
         )
         self.disc_train = ESRGANDiscriminator(
             image_size=self.crop_size, dtype=dtype
