@@ -77,3 +77,69 @@ def test_metric_key_contract(tmp_path, monkeypatch):
     # per-step logging carried the reference's global step counter
     steps = [s for _c, s in stub.logged if s is not None]
     assert steps and all(isinstance(s, int) for s in steps)
+
+
+def test_jsonl_logger_unit(tmp_path):
+    """Logger --metrics-file sink: JSONL lines, config header, no wandb."""
+    import json
+
+    path = str(tmp_path / "metrics.jsonl")
+    lg = tlog.Logger(True, config={"model": "srgan", "fn": len},
+                     metrics_path=path)
+    assert lg.wandb_active  # file sink alone must enable metric fetches
+    lg.log_wandb({"psnr/train-loss": 0.5}, step=3)
+    lg.log_wandb({"gan/PSNR": 21.0, "gan/epoch": 2}, step=7)
+    lg.finish()
+
+    lines = [json.loads(ln) for ln in open(path)]
+    assert lines[0] == {"config": {"model": "srgan"}}  # non-JSON vals dropped
+    assert lines[1] == {"step": 3, "psnr/train-loss": 0.5}
+    assert lines[2] == {"step": 7, "gan/PSNR": 21.0, "gan/epoch": 2}
+
+    # non-main process: no file writes at all
+    lg2 = tlog.Logger(False, metrics_path=str(tmp_path / "other.jsonl"))
+    assert not lg2.wandb_active
+    lg2.log_wandb({"x": 1}, step=0)
+    lg2.finish()
+    assert not (tmp_path / "other.jsonl").exists()
+
+
+@pytest.mark.slow
+def test_metrics_file_contract(tmp_path, monkeypatch):
+    """The JSONL sink carries the full WandB key contract through a real
+    two-phase run (no wandb present), including per-step train losses."""
+    import json
+
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setattr(tlog, "wandb", None)
+
+    args = Namespace(
+        batch_size=8, disable_amp=True, epochs=1, pretrain_epochs=1,
+        gan_checkpoint=None, psnr_checkpoint=None, seed=0,
+        skip_image_save=True, model="srgan", num_residual=1, vgg_convs=2,
+        metrics_file="metrics.jsonl",
+    )
+    tl = SyntheticTrainLoader(8, 32, n_batches=1)
+    el = SyntheticEvalLoader(8, 32, n_batches=1)
+    ctx = DistributedContext(1, -1, -1, 1, False)
+    trainer = SRGANTrainer(
+        args, tl, el, tl.dataset_len, el.dataset_len, make_mesh(), ctx
+    )
+    trainer.train()
+
+    lines = [json.loads(ln) for ln in open("metrics.jsonl")]
+    assert lines[0]["config"]["model"] == "srgan"
+    keys = set()
+    for rec in lines[1:]:
+        assert isinstance(rec.get("step"), int)
+        keys.update(k for k in rec if k != "step")
+    expected = {
+        "psnr/train-loss", "psnr/epoch", "psnr/throughput/train",
+        "psnr/PSNR", "psnr/val-loss", "psnr/throughput/test",
+        "gan/disc-lr", "gan/gen-lr", "gan/train-loss",
+        "gan/throughput/train", "gan/epoch",
+        "gan/PSNR", "gan/val-loss", "gan/throughput/test",
+        "psnr/SSIM", "gan/SSIM",
+    }
+    missing = expected - keys
+    assert not missing, f"missing metric keys in JSONL: {missing}"

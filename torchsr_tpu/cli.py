@@ -206,6 +206,15 @@ def parse_args(argv: list[str] | None = None) -> Namespace:
              "convolutions (default: the full 16-conv relu5_4 trunk).",
     )
     train.add_argument(
+        "--metrics-file", type=str, default=None,
+        help="Append every logged metric dict (the WandB key contract: "
+             "per-step train-loss, per-epoch PSNR/SSIM/val-loss/"
+             "throughput/LRs) as one JSON line to this file — training "
+             "curves without a WandB dependency. Appends across "
+             "resumes; a {\"config\": ...} header line records the run "
+             "flags.",
+    )
+    train.add_argument(
         "--profile-steps", type=int, default=0,
         help="Capture a jax.profiler device trace of N hot-loop train "
              "steps (TensorBoard format). 0 disables profiling. On TPU "

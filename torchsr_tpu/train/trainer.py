@@ -151,7 +151,10 @@ class GANTrainer:
         self.preempt_save = not getattr(args, "no_preempt_save", False)
         self._preemption: PreemptionGuard | None = None
 
-        self.logger = logger or Logger(self.main_process, config=vars(args))
+        self.logger = logger or Logger(
+            self.main_process, config=vars(args),
+            metrics_path=getattr(args, "metrics_file", None),
+        )
 
         self.profiler = StepProfiler(
             getattr(args, "profile_steps", 0) or 0,
