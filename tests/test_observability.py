@@ -143,3 +143,52 @@ def test_metrics_file_contract(tmp_path, monkeypatch):
     }
     missing = expected - keys
     assert not missing, f"missing metric keys in JSONL: {missing}"
+
+
+def test_metrics_summary_tool(tmp_path, capsys):
+    """tools/metrics_summary.py parses, summarizes, and CSV-exports a
+    --metrics-file JSONL."""
+    import json
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    try:
+        import metrics_summary
+    finally:
+        sys.path.pop(0)
+
+    path = tmp_path / "m.jsonl"
+    with open(path, "w") as fh:
+        fh.write(json.dumps({"config": {"model": "esrgan", "seed": 1}}) + "\n")
+        for step, loss, psnr in [(0, 0.9, None), (1, 0.5, None),
+                                 (2, 0.3, 21.5), (3, 0.2, 23.0)]:
+            rec = {"step": step, "psnr/train-loss": loss}
+            if psnr is not None:
+                rec["psnr/PSNR"] = psnr
+            fh.write(json.dumps(rec) + "\n")
+
+    config, records = metrics_summary.load_records(str(path))
+    assert config == {"model": "esrgan", "seed": 1}
+    assert len(records) == 4
+
+    stats = metrics_summary.summarize(records)
+    s = stats["psnr/train-loss"]
+    assert (s["count"], s["first"], s["last"]) == (4, 0.9, 0.2)
+    assert (s["min"], s["max"], s["argmax_step"]) == (0.2, 0.9, 0)
+    assert stats["psnr/PSNR"]["argmax_step"] == 3
+
+    csv_path = tmp_path / "m.csv"
+    rc = metrics_summary.main([str(path), "--csv", str(csv_path)])
+    assert rc == 0
+    lines = csv_path.read_text().splitlines()
+    assert lines[0] == "step,psnr/PSNR,psnr/train-loss"
+    assert lines[1] == "0,,0.9"
+    assert lines[-1] == "3,23.0,0.2"
+    out = capsys.readouterr().out
+    assert "psnr/PSNR" in out and '"model": "esrgan"' in out
+
+    # empty file -> error exit
+    empty = tmp_path / "e.jsonl"
+    empty.write_text("")
+    assert metrics_summary.main([str(empty)]) == 1
