@@ -35,6 +35,7 @@ def test_cross_phase_restore_is_weights_only(tmp_path, monkeypatch):
     trainer = _trainer()
     trainer.best_psnr = 42.0
     trainer._save(3, "srgan-psnr", "latest")
+    trainer._wait_saves()  # _save is async by default
 
     from torchsr_tpu.utils.checkpoint import load_checkpoint
 

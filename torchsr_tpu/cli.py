@@ -206,6 +206,13 @@ def parse_args(argv: list[str] | None = None) -> Namespace:
              "convolutions (default: the full 16-conv relu5_4 trunk).",
     )
     train.add_argument(
+        "--sync-saves", action="store_true",
+        help="Write checkpoints synchronously in the epoch loop instead "
+             "of the default async writer thread (which snapshots the "
+             "state on device and streams it to disk while training "
+             "continues). Multi-process runs are always synchronous.",
+    )
+    train.add_argument(
         "--metrics-file", type=str, default=None,
         help="Append every logged metric dict (the WandB key contract: "
              "per-step train-loss, per-epoch PSNR/SSIM/val-loss/"

@@ -75,6 +75,7 @@ from torchsr_tpu.train.state import (
 )
 from torchsr_tpu.utils import image_io
 from torchsr_tpu.utils.checkpoint import (
+    AsyncCheckpointWriter,
     find_checkpoint,
     load_checkpoint,
     save_checkpoint,
@@ -150,6 +151,20 @@ class GANTrainer:
         self.seed = getattr(args, "seed", 0) or 0
         self.preempt_save = not getattr(args, "no_preempt_save", False)
         self._preemption: PreemptionGuard | None = None
+
+        # Async checkpointing (default): the device->host fetch is the
+        # epoch loop's only non-compute stall (~85 s for a full ESRGAN
+        # state through the tunneled runtime) — snapshot on device and
+        # let a writer thread stream it out while training continues.
+        # Single-host only: the snapshot is a jitted (collective)
+        # program; multi-process runs keep the synchronous path.
+        self.ckpt_writer = None
+        if (
+            self.main_process
+            and not getattr(args, "sync_saves", False)
+            and jax.process_count() == 1
+        ):
+            self.ckpt_writer = AsyncCheckpointWriter()
 
         self.logger = logger or Logger(
             self.main_process, config=vars(args),
@@ -840,13 +855,43 @@ class GANTrainer:
     def _save(self, epoch: int, phase: str, kind: str) -> None:
         if not self.main_process:
             return
+        path = f"{phase}-{kind}.ckpt"
+        if self.ckpt_writer is not None:
+            from torchsr_tpu.models.scan_compat import unroll_blocks
+
+            self.ckpt_writer.save(
+                path, epoch, phase,
+                {
+                    "params": self.state.gen_params,
+                    "batch_stats": self.state.gen_stats,
+                },
+                extra={
+                    "disc_params": self.state.disc_params,
+                    "disc_stats": self.state.disc_stats,
+                    "psnr_opt_state": self.state.psnr_opt_state,
+                    "gen_opt_state": self.state.gen_opt_state,
+                    "disc_opt_state": self.state.disc_opt_state,
+                    "step": self.state.step,
+                    "best_psnr": float(self.best_psnr),
+                },
+                host_transform=lambda gs: {
+                    "params": unroll_blocks(gs["params"]),
+                    "batch_stats": unroll_blocks(gs["batch_stats"]),
+                },
+            )
+            return
         save_checkpoint(
-            f"{phase}-{kind}.ckpt",
+            path,
             epoch,
             phase,
             self._generator_state(),
             extra=self._full_state(),
         )
+
+    def _wait_saves(self) -> None:
+        """Drain pending async checkpoint writes (no-op on sync path)."""
+        if self.ckpt_writer is not None:
+            self.ckpt_writer.wait(log=self.logger.log)
 
     def _put(self, *arrays):
         return put_batch(tuple(arrays), self.mesh)
@@ -860,6 +905,7 @@ class GANTrainer:
         if self._preemption is None or not self._preemption.requested:
             return
         self._save(epoch, phase, "latest")
+        self._wait_saves()  # the file must exist before the clean exit
         self.logger.log(
             f"Preemption signal received: saved {phase}-latest.ckpt "
             f"at epoch {epoch}; exiting cleanly"
@@ -1019,6 +1065,7 @@ class GANTrainer:
     def _pretrain(self) -> None:
         self.logger.log("=" * 80)
         self.logger.log("Starting pre-training")
+        self._wait_saves()  # resume may read files still being written
         epoch = 1
         # An explicit --psnr-checkpoint replaces the default path
         # entirely (reference srgan/trainer.py:356-360), it is not a
@@ -1081,10 +1128,12 @@ class GANTrainer:
                 step=step,
             )
             self._test(epoch, f"{self.model_name}-psnr", step)
+        self._wait_saves()  # the GAN phase reads psnr-latest from disk
 
     def _gan_train(self) -> None:
         self.logger.log("=" * 80)
         self.logger.log("Starting training loop")
+        self._wait_saves()
         epoch = 1
         self.best_psnr = -1.0
 
@@ -1163,6 +1212,7 @@ class GANTrainer:
                 step=step,
             )
             self._test(epoch, f"{self.model_name}-gan", step)
+        self._wait_saves()
 
     def train(self) -> None:
         """Pretrain then GAN-train (reference srgan/trainer.py:533-543).
@@ -1180,6 +1230,7 @@ class GANTrainer:
         except TrainingPreempted:
             pass  # checkpoint already written; exit cleanly
         finally:
+            self._wait_saves()
             if self._preemption is not None:
                 self._preemption.uninstall()
                 self._preemption = None
