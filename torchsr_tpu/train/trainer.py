@@ -1255,17 +1255,50 @@ def _load_vgg_weights(path: str) -> dict:
     return variables.get("params", variables)
 
 
-def _match_tree(template, loaded):
+def _extra_keys(template, loaded, prefix=""):
+    """Paths present in ``loaded`` that ``template`` has no slot for."""
+    if not isinstance(loaded, dict) or not isinstance(template, dict):
+        return []
+    tpl = {str(k): v for k, v in template.items()}
+    out = []
+    for key, val in loaded.items():
+        if str(key) not in tpl:
+            out.append(f"{prefix}{key}")
+        else:
+            out.extend(_extra_keys(tpl[str(key)], val, f"{prefix}{key}/"))
+    return out
+
+
+def _match_tree(template, loaded, allow_extra=False):
     """Key-aware restoration of a checkpoint tree onto a template pytree.
 
     Delegates the structural matching to flax ``from_state_dict`` —
-    dict leaves are matched BY KEY (missing/extra keys raise with the
+    dict leaves are matched BY KEY (missing keys raise with the
     offending path), never by flattened position, so two same-leaf-count
     architectures or a reordered dict can't silently transpose weights.
-    Leaves are then cast to the template's dtypes; a size-incompatible
-    leaf raises instead of reshaping garbage into place.
+    ``from_state_dict`` silently DROPS keys the template lacks, which
+    would make an architecture mismatch (a 4x checkpoint resumed with
+    ``--scale 2``, a 16-block checkpoint with ``--gen-blocks 1``) a
+    silent partial restore — so extra keys raise here unless
+    ``allow_extra`` (the VGG loss deliberately truncates its template
+    with ``--vgg-convs``).  Leaves are then cast to the template's
+    dtypes; a size-incompatible leaf raises instead of reshaping
+    garbage into place.
     """
     from flax import serialization
+
+    if not allow_extra:
+        extra = _extra_keys(
+            serialization.to_state_dict(template),
+            serialization.to_state_dict(loaded),
+        )
+        if extra:
+            shown = ", ".join(extra[:4]) + ("..." if len(extra) > 4 else "")
+            raise ValueError(
+                f"checkpoint contains entries the model has no parameters "
+                f"for ({shown}) — architecture mismatch: check that "
+                f"--scale and --gen-blocks match the checkpoint"
+            )
 
     restored = serialization.from_state_dict(template, loaded)
 

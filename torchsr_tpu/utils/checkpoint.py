@@ -190,14 +190,19 @@ class AsyncCheckpointWriter:
         logged = False
         with self._cond:
             while self._order or self._inflight:
-                if log is not None and not logged:
+                # Quick drains (small states, fast hosts) stay silent;
+                # only a wait that outlives the grace period logs.
+                self._cond.wait(timeout=2.0)
+                if (
+                    log is not None and not logged
+                    and (self._order or self._inflight)
+                ):
                     log(
                         f"Draining {len(self._order) + self._inflight} "
                         "pending checkpoint write(s) (device->host "
                         "stream; can take minutes for large states)"
                     )
                     logged = True
-                self._cond.wait()
         self._check_error()
 
 
