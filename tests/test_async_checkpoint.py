@@ -130,3 +130,44 @@ def test_worker_error_is_sticky(tmp_path):
     with pytest.raises(RuntimeError):
         writer.save(str(tmp_path / "y.ckpt"), 1, "p",
                     {"params": {"w": jnp.zeros((1,))}})
+
+
+@pytest.mark.slow
+def test_sync_saves_flag_wiring(tmp_path, monkeypatch):
+    """--sync-saves disables the writer; _save then writes inline.
+    Default args get a writer (single-process)."""
+    import os
+    from argparse import Namespace
+
+    from torchsr_tpu.data.synthetic import (
+        SyntheticEvalLoader,
+        SyntheticTrainLoader,
+    )
+    from torchsr_tpu.parallel.mesh import DistributedContext, make_mesh
+    from torchsr_tpu.train.trainer import SRGANTrainer
+
+    monkeypatch.chdir(tmp_path)
+
+    def build(**kw):
+        args = Namespace(
+            batch_size=8, disable_amp=True, epochs=1, pretrain_epochs=1,
+            gan_checkpoint=None, psnr_checkpoint=None, seed=0,
+            skip_image_save=True, model="srgan", num_residual=1,
+            vgg_convs=2, **kw,
+        )
+        tl = SyntheticTrainLoader(8, 32, n_batches=1)
+        el = SyntheticEvalLoader(8, 32, n_batches=1)
+        ctx = DistributedContext(1, -1, -1, 1, False)
+        return SRGANTrainer(
+            args, tl, el, tl.dataset_len, el.dataset_len, make_mesh(), ctx
+        )
+
+    sync_tr = build(sync_saves=True)
+    assert sync_tr.ckpt_writer is None
+    sync_tr._save(1, "srgan-psnr", "latest")
+    # no wait needed: the write happened inline
+    assert os.path.exists("srgan-psnr-latest.ckpt")
+    assert load_checkpoint("srgan-psnr-latest.ckpt")["epoch"] == 1
+
+    async_tr = build()
+    assert async_tr.ckpt_writer is not None
