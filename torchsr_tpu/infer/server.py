@@ -37,7 +37,8 @@ Endpoints:
 - ``GET /metadata`` — backend metadata (artifact sidecar, or the
   checkpoint serving configuration), verbatim JSON.
 - ``POST /upscale`` — request body: an encoded image (PNG/JPEG/
-  anything Pillow decodes).  Response: the 4x super-resolved image,
+  anything Pillow decodes).  Response: the super-resolved image (the
+  model's scale — 4x default, auto-detected from the checkpoint),
   PNG by default; ``?format=jpeg`` (optional ``&quality=N``, default
   92) trades exactness for a much cheaper encode + smaller response —
   a 4K PNG encode costs whole seconds of host CPU, often more than
