@@ -13,8 +13,56 @@ import os
 import sys
 
 
+def _train_mode(out_path: str, ctx, mesh) -> None:
+    """Full two-phase ``train()`` across processes: exercises the
+    multi-process ASYNC checkpoint path (collective device snapshot on
+    every process, main-only enqueue, trainer.py ``_save``) and the
+    all-process sample render (``_render_sample``'s global-mesh forward
+    with main-gated I/O)."""
+    import jax
+    from argparse import Namespace
+
+    from torchsr_tpu.data.synthetic import (
+        SyntheticEvalLoader,
+        SyntheticTrainLoader,
+    )
+    from torchsr_tpu.train.trainer import SRGANTrainer
+
+    args = Namespace(
+        batch_size=4,  # per process -> global batch 8 over 8 devices
+        disable_amp=True, epochs=1, pretrain_epochs=1,
+        gan_checkpoint=None, psnr_checkpoint=None, seed=0,
+        skip_image_save=False, sample_image=os.environ["SAMPLE_IMAGE"],
+        model="srgan", num_residual=1, vgg_convs=2,
+    )
+    tl = SyntheticTrainLoader(4, 32, n_batches=1)
+    el = SyntheticEvalLoader(4, 32, n_batches=1)
+    trainer = SRGANTrainer(args, tl, el, 8, 8, mesh, ctx)
+    assert trainer.async_saves, "async saves should be on by default"
+    assert (trainer.ckpt_writer is not None) == ctx.main_process
+    assert trainer.sample_image is not None, "all processes load the image"
+    trainer.train()
+    with open(out_path, "w") as fh:
+        json.dump({
+            "rank": ctx.rank,
+            "process_index": int(jax.process_index()),
+            "ok": True,
+        }, fh)
+
+
 def main() -> None:
+    # Debugging aid: MP_WORKER_DUMP_AFTER=<secs> dumps all-thread
+    # tracebacks to stderr if the worker is still alive then (hangs in
+    # collective paths are otherwise invisible — the launcher only sees
+    # a subprocess timeout).
+    dump_after = float(os.environ.get("MP_WORKER_DUMP_AFTER", "0") or 0)
+    if dump_after > 0:
+        import faulthandler
+
+        faulthandler.dump_traceback_later(dump_after, exit=True)
+
     out_path = sys.argv[1]
+    mode = sys.argv[2] if len(sys.argv) > 2 else "step"
     rank = int(os.environ["RANK"])
     local_world = int(os.environ["LOCAL_WORLD_SIZE"])
 
@@ -38,6 +86,10 @@ def main() -> None:
     assert len(jax.devices()) == 8, "global device view"
     assert len(jax.local_devices()) == 4, "4 virtual CPU devices/process"
     assert ctx.main_process == (rank == 0)
+
+    if mode == "train":
+        _train_mode(out_path, ctx, make_mesh())
+        return
 
     from argparse import Namespace
 

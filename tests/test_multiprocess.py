@@ -28,8 +28,10 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.mark.slow
-def test_two_process_pretrain_step_matches_single_process(tmp_path):
+def _launch_workers(tmp_path, mode: str = "step", extra_env=None):
+    """Run tests/_mp_worker.py in 2 real OS processes (4 virtual CPU
+    devices each, torchrun-style env, jax.distributed rendezvous over
+    localhost) and return their result JSONs."""
     port = _free_port()
     procs = []
     outs = []
@@ -49,10 +51,11 @@ def test_two_process_pretrain_step_matches_single_process(tmp_path):
             "MASTER_PORT": str(port),
             "PYTHONPATH": REPO + os.pathsep
             + os.environ.get("PYTHONPATH", ""),
+            **(extra_env or {}),
         }
         procs.append(subprocess.Popen(
             [sys.executable, os.path.join(REPO, "tests", "_mp_worker.py"),
-             out],
+             out, mode],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
             text=True, cwd=str(tmp_path),
         ))
@@ -64,8 +67,12 @@ def test_two_process_pretrain_step_matches_single_process(tmp_path):
                 q.kill()
             raise
         assert p.returncode == 0, f"worker failed:\n{stderr[-4000:]}"
+    return [json.load(open(o)) for o in outs]
 
-    results = [json.load(open(o)) for o in outs]
+
+@pytest.mark.slow
+def test_two_process_pretrain_step_matches_single_process(tmp_path):
+    results = _launch_workers(tmp_path, "step")
     assert {r["process_index"] for r in results} == {0, 1}
     assert {r["rank"] for r in results} == {0, 4}
     # Replicated outputs are identical across processes.
@@ -130,3 +137,43 @@ def test_two_process_pretrain_step_matches_single_process(tmp_path):
         float(sum(np.abs(l).sum() for l in leaves)),
         results[0]["fingerprint"], rtol=1e-6,
     )
+
+
+@pytest.mark.slow
+def test_two_process_full_train_with_async_saves(tmp_path):
+    """Full two-phase ``train()`` across 2 real processes with the
+    ASYNC checkpoint path active: every process participates in the
+    collective on-device snapshot, only rank 0 streams the writes, and
+    the sample render's global-mesh forward runs on all processes with
+    main-gated I/O.  Asserts the reference's checkpoint/output file
+    contract lands on the shared working directory."""
+    from PIL import Image
+
+    rng = np.random.default_rng(3)
+    sample = tmp_path / "sample.png"
+    Image.fromarray(
+        rng.integers(0, 256, (16, 20, 3), dtype=np.uint8)
+    ).save(sample)
+
+    results = _launch_workers(
+        tmp_path, "train", extra_env={"SAMPLE_IMAGE": str(sample)}
+    )
+    assert {r["process_index"] for r in results} == {0, 1}
+    assert all(r["ok"] for r in results)
+
+    for name in (
+        "srgan-psnr-latest.ckpt", "srgan-psnr-best.ckpt",
+        "srgan-gan-latest.ckpt", "srgan-gan-best.ckpt",
+    ):
+        assert (tmp_path / name).exists(), name
+    assert (tmp_path / "output" / "SR_epoch1.png").exists()
+
+    from torchsr_tpu.utils.checkpoint import load_checkpoint
+
+    ckpt = load_checkpoint(str(tmp_path / "srgan-gan-best.ckpt"))
+    assert ckpt["epoch"] == 1 and ckpt["phase"] == "srgan-gan"
+    assert "extra" in ckpt  # lossless-resume payload rode the async path
+    import jax
+
+    for leaf in jax.tree.leaves(ckpt["state"]["params"]):
+        assert np.all(np.isfinite(np.asarray(leaf)))

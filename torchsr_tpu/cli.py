@@ -210,7 +210,8 @@ def parse_args(argv: list[str] | None = None) -> Namespace:
         help="Write checkpoints synchronously in the epoch loop instead "
              "of the default async writer thread (which snapshots the "
              "state on device and streams it to disk while training "
-             "continues). Multi-process runs are always synchronous.",
+             "continues; under multi-process every process joins the "
+             "snapshot and rank 0 streams the write).",
     )
     train.add_argument(
         "--metrics-file", type=str, default=None,

@@ -76,6 +76,7 @@ from torchsr_tpu.train.state import (
 from torchsr_tpu.utils import image_io
 from torchsr_tpu.utils.checkpoint import (
     AsyncCheckpointWriter,
+    device_snapshot,
     find_checkpoint,
     load_checkpoint,
     save_checkpoint,
@@ -156,15 +157,17 @@ class GANTrainer:
         # epoch loop's only non-compute stall (~85 s for a full ESRGAN
         # state through the tunneled runtime) — snapshot on device and
         # let a writer thread stream it out while training continues.
-        # Single-host only: the snapshot is a jitted (collective)
-        # program; multi-process runs keep the synchronous path.
-        self.ckpt_writer = None
-        if (
-            self.main_process
-            and not getattr(args, "sync_saves", False)
-            and jax.process_count() == 1
-        ):
-            self.ckpt_writer = AsyncCheckpointWriter()
+        # Multi-process: the snapshot is a jitted program over the
+        # global mesh, so EVERY process participates in it inside
+        # ``_save`` (at identical points — the save schedule is driven
+        # by replicated values); only the main process owns a writer
+        # and enqueues.  The worker's fetch is process-local (the state
+        # is fully replicated under DP).
+        self.async_saves = not getattr(args, "sync_saves", False)
+        self.ckpt_writer = (
+            AsyncCheckpointWriter()
+            if self.async_saves and self.main_process else None
+        )
 
         self.logger = logger or Logger(
             self.main_process, config=vars(args),
@@ -751,7 +754,13 @@ class GANTrainer:
         """
         self.sample_image = None
         path = getattr(self.args, "sample_image", None) or SAMPLE_IMAGE_PATH
-        if self.save_image and self.main_process and os.path.exists(path):
+        # Loaded on EVERY process (multi-process runs share a working
+        # directory, the same assumption checkpoint resume makes): the
+        # render's jitted forward runs over the global mesh, so all
+        # processes must participate in it — only the host-side image
+        # I/O is gated to main (the reference likewise runs the forward
+        # on all ranks and saves on rank 0, srgan/trainer.py:335).
+        if self.save_image and os.path.exists(path):
             arr = image_io.load_image(path).astype(np.float32) / 255.0
             self.sample_image = arr[None]
         if self.save_image and self.main_process:
@@ -852,33 +861,48 @@ class GANTrainer:
         self.state = replicate(host_state, self.mesh)
         return int(checkpoint.get("epoch", 1))
 
-    def _save(self, epoch: int, phase: str, kind: str) -> None:
-        if not self.main_process:
-            return
+    def _save(
+        self, epoch: int, phase: str, kind: str, sync: bool = False
+    ) -> None:
+        """Write (or enqueue) the ``{phase}-{kind}`` checkpoint.
+
+        Async path (default): the on-device snapshot is a jitted
+        program over the global mesh, so ALL processes take it (the
+        save schedule is driven by replicated values and is therefore
+        identical across processes); only the main process enqueues the
+        host write.  ``sync=True`` forces the blocking path — used for
+        preemption saves, where the signal may reach processes at
+        different step boundaries and a collective snapshot could
+        deadlock.
+        """
         path = f"{phase}-{kind}.ckpt"
-        if self.ckpt_writer is not None:
+        if self.async_saves and not sync:
+            gen_snap = device_snapshot({
+                "params": self.state.gen_params,
+                "batch_stats": self.state.gen_stats,
+            })
+            extra_snap = device_snapshot({
+                "disc_params": self.state.disc_params,
+                "disc_stats": self.state.disc_stats,
+                "psnr_opt_state": self.state.psnr_opt_state,
+                "gen_opt_state": self.state.gen_opt_state,
+                "disc_opt_state": self.state.disc_opt_state,
+                "step": self.state.step,
+                "best_psnr": float(self.best_psnr),
+            })
+            if self.ckpt_writer is None:
+                return  # snapshot participation only (non-main process)
             from torchsr_tpu.models.scan_compat import unroll_blocks
 
-            self.ckpt_writer.save(
-                path, epoch, phase,
-                {
-                    "params": self.state.gen_params,
-                    "batch_stats": self.state.gen_stats,
-                },
-                extra={
-                    "disc_params": self.state.disc_params,
-                    "disc_stats": self.state.disc_stats,
-                    "psnr_opt_state": self.state.psnr_opt_state,
-                    "gen_opt_state": self.state.gen_opt_state,
-                    "disc_opt_state": self.state.disc_opt_state,
-                    "step": self.state.step,
-                    "best_psnr": float(self.best_psnr),
-                },
+            self.ckpt_writer.enqueue(
+                path, epoch, phase, gen_snap, extra_snap,
                 host_transform=lambda gs: {
                     "params": unroll_blocks(gs["params"]),
                     "batch_stats": unroll_blocks(gs["batch_stats"]),
                 },
             )
+            return
+        if not self.main_process:
             return
         save_checkpoint(
             path,
@@ -888,10 +912,25 @@ class GANTrainer:
             extra=self._full_state(),
         )
 
-    def _wait_saves(self) -> None:
-        """Drain pending async checkpoint writes (no-op on sync path)."""
+    def _wait_saves(self, barrier: bool = False) -> None:
+        """Drain pending async checkpoint writes (no-op on sync path).
+
+        ``barrier=True`` additionally synchronizes all processes AFTER
+        the drain — required wherever a checkpoint READ follows (phase
+        boundaries): only the main process owns a writer, so without a
+        barrier a non-main process races ahead, finds the file missing,
+        and skips ``_restore`` while the main process enters its
+        collective ``replicate`` — a control-flow divergence that
+        deadlocks the job (observed in the 2-process full-train test).
+        Never pass ``barrier=True`` on preemption/exit paths, where
+        processes may arrive asymmetrically.
+        """
         if self.ckpt_writer is not None:
             self.ckpt_writer.wait(log=self.logger.log)
+        if barrier and jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("torchsr-ckpt-drain")
 
     def _put(self, *arrays):
         return put_batch(tuple(arrays), self.mesh)
@@ -904,7 +943,10 @@ class GANTrainer:
         re-runs it from its start (reference srgan/trainer.py:367)."""
         if self._preemption is None or not self._preemption.requested:
             return
-        self._save(epoch, phase, "latest")
+        # Multi-process: SIGTERM may reach processes at different step
+        # boundaries, so the preemption save must not run the collective
+        # snapshot — force the synchronous (process-local) write path.
+        self._save(epoch, phase, "latest", sync=jax.process_count() > 1)
         self._wait_saves()  # the file must exist before the clean exit
         self.logger.log(
             f"Preemption signal received: saved {phase}-latest.ckpt "
@@ -980,22 +1022,31 @@ class GANTrainer:
         self._render_sample(epoch)
 
     def _render_sample(self, epoch: int) -> None:
-        if self.sample_image is None or not self.main_process:
+        if self.sample_image is None:
             return
+        # The forward is a global-mesh program: all processes run it
+        # (replicated compute, no collectives); host I/O is main-only.
         sr = self.infer(
             self.state.gen_params, self.state.gen_stats, self.sample_image
         )
+        if not self.main_process:
+            return
+        # One fetch of the (replicated) output; everything below is
+        # host/local-device work so a non-main process never has to
+        # participate in it.
+        sr_host = np.asarray(sr)
         image_io.save_image(
-            np.asarray(sr[0]), os.path.join("output", f"SR_epoch{epoch}.png")
+            sr_host[0], os.path.join("output", f"SR_epoch{epoch}.png")
         )
         if self.logger.wandb_active:
             # The reference logs a quarter-size bicubic copy to WandB
             # (srgan/trainer.py:337-343).
             from torchsr_tpu.ops.resize import bicubic_resize
 
-            h, w = sr.shape[1] // 4, sr.shape[2] // 4
+            h, w = sr_host.shape[1] // 4, sr_host.shape[2] // 4
             quarter = bicubic_resize(
-                jnp.clip(sr, 0.0, 1.0), (h, w), quantize=True
+                jnp.asarray(np.clip(sr_host, 0.0, 1.0)), (h, w),
+                quantize=True,
             )
             self.logger.log_image(
                 f"images/epoch{epoch}",
@@ -1065,7 +1116,9 @@ class GANTrainer:
     def _pretrain(self) -> None:
         self.logger.log("=" * 80)
         self.logger.log("Starting pre-training")
-        self._wait_saves()  # resume may read files still being written
+        # resume may read files still being written (barrier: every
+        # process must see the drained files before the restore branch)
+        self._wait_saves(barrier=True)
         epoch = 1
         # An explicit --psnr-checkpoint replaces the default path
         # entirely (reference srgan/trainer.py:356-360), it is not a
@@ -1128,12 +1181,14 @@ class GANTrainer:
                 step=step,
             )
             self._test(epoch, f"{self.model_name}-psnr", step)
-        self._wait_saves()  # the GAN phase reads psnr-latest from disk
+        # The GAN phase reads psnr-latest from disk; the barrier keeps
+        # non-writer processes from reading before the file lands.
+        self._wait_saves(barrier=True)
 
     def _gan_train(self) -> None:
         self.logger.log("=" * 80)
         self.logger.log("Starting training loop")
-        self._wait_saves()
+        self._wait_saves(barrier=True)  # the resume branch reads files
         epoch = 1
         self.best_psnr = -1.0
 

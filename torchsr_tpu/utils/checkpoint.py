@@ -89,10 +89,14 @@ class AsyncCheckpointWriter:
     - Errors are sticky: a failed write surfaces at the next ``save()``
       or ``wait()`` rather than being lost in the worker.
 
-    Multi-host note: snapshotting runs a jitted program, which is a
-    collective across processes — trainers only enable the async path
-    when ``jax.process_count() == 1`` (single-host; rank gating already
-    limits writes to the main process).
+    Multi-host note: snapshotting runs a jitted program over the global
+    mesh, so EVERY process must participate in it at the same point.
+    The trainers therefore call ``device_snapshot`` on all processes
+    and only the main process (which owns a writer) calls ``enqueue``
+    with the result; non-main snapshots are dropped immediately.  The
+    worker's ``jax.device_get`` is process-local (the training state is
+    fully replicated under data parallelism), so the background stream
+    never blocks on other hosts.
     """
 
     def __init__(self) -> None:
@@ -128,12 +132,36 @@ class AsyncCheckpointWriter:
         the fetched host generator-state (the trainers use it to
         unstack nn.scan layouts into the canonical checkpoint format).
         """
+        self.enqueue(
+            path,
+            epoch,
+            phase,
+            device_snapshot(generator_state),
+            device_snapshot(extra) if extra is not None else None,
+            host_transform=host_transform,
+        )
+
+    def enqueue(
+        self,
+        path: str,
+        epoch: int,
+        phase: str,
+        generator_snapshot: dict,
+        extra_snapshot: dict | None = None,
+        host_transform=None,
+    ) -> None:
+        """Enqueue trees already snapshotted with ``device_snapshot``.
+
+        The multi-process entry point: every process takes the
+        (collective) snapshot; only the process that owns a writer
+        enqueues it.
+        """
         self._check_error()
         job = (
             int(epoch),
             str(phase),
-            device_snapshot(generator_state),
-            device_snapshot(extra) if extra is not None else None,
+            generator_snapshot,
+            extra_snapshot,
             host_transform,
         )
         with self._cond:
