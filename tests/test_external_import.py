@@ -1,0 +1,154 @@
+"""External pretrained-weight import: the public RRDBNet naming schemes.
+
+The xinntao ESRGAN (old- and new-arch) and BasicSR Real-ESRGAN
+checkpoints share the reference generator's graph under different
+module names (torch_compat._canonical_esrgan_sd).  These tests build
+the renames INDEPENDENTLY (reference-name -> external-name, the inverse
+direction of the converter) from each scheme's published key layout, so
+a mapping bug on either side fails the round-trip.
+"""
+
+import re
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from torchsr_tpu.models import ESRGANGenerator
+from torchsr_tpu.models.torch_compat import (
+    convert_esrgan_generator,
+    export_esrgan_generator,
+)
+from torchsr_tpu.utils.checkpoint import load_checkpoint
+
+N_BLOCKS = 2
+
+
+def _tiny_variables():
+    gen = ESRGANGenerator(num_rrdb_blocks=N_BLOCKS, fused_rdb=False)
+    x = jnp.zeros((1, 8, 8, 3), jnp.float32)
+    return gen, gen.init(jax.random.PRNGKey(0), x, train=False)
+
+
+def _to_old_arch(key: str) -> str:
+    """reference name -> xinntao old-arch (RRDB_ESRGAN_x4.pth) name."""
+    key = re.sub(r"^blocks\.(\d+)\.(RDB\d)\.(conv[1-4])\.0\.",
+                 r"model.1.sub.\1.\2.\3.0.", key)
+    key = re.sub(r"^blocks\.(\d+)\.(RDB\d)\.conv5\.",
+                 r"model.1.sub.\1.\2.conv5.0.", key)
+    key = re.sub(r"^conv1\.", "model.0.", key)
+    key = re.sub(r"^conv2\.", f"model.1.sub.{N_BLOCKS}.", key)
+    key = re.sub(r"^upsample1\.", "model.3.", key)
+    key = re.sub(r"^upsample2\.", "model.6.", key)
+    key = re.sub(r"^conv3\.0\.", "model.8.", key)
+    key = re.sub(r"^conv4\.", "model.10.", key)
+    return key
+
+
+def _to_new_arch(key: str) -> str:
+    """reference name -> xinntao new-arch (RRDBNet) name."""
+    key = re.sub(r"^blocks\.(\d+)\.(RDB\d)\.(conv\d)(?:\.0)?\.",
+                 r"RRDB_trunk.\1.\2.\3.", key)
+    key = re.sub(r"^conv1\.", "conv_first.", key)
+    key = re.sub(r"^conv2\.", "trunk_conv.", key)
+    key = re.sub(r"^upsample1\.", "upconv1.", key)
+    key = re.sub(r"^upsample2\.", "upconv2.", key)
+    key = re.sub(r"^conv3\.0\.", "HRconv.", key)
+    key = re.sub(r"^conv4\.", "conv_last.", key)
+    return key
+
+
+def _to_basicsr(key: str) -> str:
+    """reference name -> BasicSR RRDBNet (RealESRGAN_x4plus.pth) name."""
+    key = re.sub(r"^blocks\.(\d+)\.RDB(\d)\.(conv\d)(?:\.0)?\.",
+                 r"body.\1.rdb\2.\3.", key)
+    key = re.sub(r"^conv1\.", "conv_first.", key)
+    key = re.sub(r"^conv2\.", "conv_body.", key)
+    key = re.sub(r"^upsample1\.", "conv_up1.", key)
+    key = re.sub(r"^upsample2\.", "conv_up2.", key)
+    key = re.sub(r"^conv3\.0\.", "conv_hr.", key)
+    key = re.sub(r"^conv4\.", "conv_last.", key)
+    return key
+
+
+_SCHEMES = {
+    "old_arch": _to_old_arch,
+    "new_arch": _to_new_arch,
+    "basicsr": _to_basicsr,
+}
+
+
+def _assert_params_equal(got, want):
+    got_flat = jax.tree_util.tree_flatten_with_path(got)[0]
+    want_flat = jax.tree_util.tree_flatten_with_path(want)[0]
+    assert [p for p, _ in got_flat] == [p for p, _ in want_flat]
+    for (path, g), (_, w) in zip(got_flat, want_flat):
+        np.testing.assert_array_equal(
+            np.asarray(g), np.asarray(w), err_msg=str(path)
+        )
+
+
+@pytest.mark.parametrize("scheme", sorted(_SCHEMES))
+def test_external_scheme_roundtrip(scheme):
+    """export -> rename to the external scheme -> convert == original."""
+    _, variables = _tiny_variables()
+    sd_ref = export_esrgan_generator(variables)
+    sd_ext = {_SCHEMES[scheme](k): v for k, v in sd_ref.items()}
+    assert not set(sd_ext) & set(sd_ref), "rename left reference keys"
+    got = convert_esrgan_generator(sd_ext)
+    _assert_params_equal(got["params"], variables["params"])
+
+
+def test_reference_names_unaffected():
+    _, variables = _tiny_variables()
+    sd_ref = export_esrgan_generator(variables)
+    got = convert_esrgan_generator(sd_ref)
+    _assert_params_equal(got["params"], variables["params"])
+
+
+def test_basicsr_pth_end_to_end(tmp_path):
+    """A params_ema-wrapped BasicSR .pth loads and runs inference."""
+    gen, variables = _tiny_variables()
+    sd = {
+        _to_basicsr(k): v
+        for k, v in export_esrgan_generator(variables).items()
+    }
+    path = tmp_path / "RealESRGAN_x4plus.pth"
+    torch.save({"params_ema": sd}, path)
+
+    loaded = load_checkpoint(str(path))  # model sniffed from keys
+    _assert_params_equal(loaded["state"]["params"], variables["params"])
+
+    x = jnp.linspace(0, 1, 1 * 8 * 8 * 3, dtype=jnp.float32).reshape(
+        1, 8, 8, 3
+    )
+    want = gen.apply({"params": variables["params"]}, x, train=False)
+    got = gen.apply({"params": loaded["state"]["params"]}, x, train=False)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=1e-6
+    )
+    assert got.shape == (1, 32, 32, 3)
+
+
+def test_pixel_unshuffle_input_rejected():
+    """2x Real-ESRGAN variants (12-channel conv_first) raise loudly."""
+    sd = {
+        "conv_first.weight": torch.zeros(64, 12, 3, 3),
+        "conv_first.bias": torch.zeros(64),
+        "body.0.rdb1.conv1.weight": torch.zeros(32, 64, 3, 3),
+    }
+    with pytest.raises(ValueError, match="pixel-unshuffle"):
+        convert_esrgan_generator(sd)
+
+
+def test_unrecognized_external_keys_rejected():
+    _, variables = _tiny_variables()
+    sd = {
+        _to_basicsr(k): v
+        for k, v in export_esrgan_generator(variables).items()
+    }
+    sd["conv_up3.weight"] = torch.zeros(64, 64, 3, 3)
+    with pytest.raises(ValueError, match="conv_up3"):
+        convert_esrgan_generator(sd)

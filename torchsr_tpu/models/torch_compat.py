@@ -6,6 +6,22 @@ its inference path strips DDP's ``module.`` prefix (test.py:43-55).  These
 converters map those torch ``state_dict`` layouts onto our flax NHWC param
 trees so users can bring existing TorchSR checkpoints to the TPU stack.
 
+ESRGAN additionally accepts the three public RRDBNet naming schemes —
+the graph is identical to the reference's generator, so the widely
+distributed pretrained weights load directly (``torchsr test
+--checkpoint RRDB_ESRGAN_x4.pth``):
+
+  * xinntao old-arch (``RRDB_ESRGAN_x4.pth``): ``model.0``,
+    ``model.1.sub.{i}.RDB{j}.conv{c}.0``, ``model.1.sub.{N}`` trunk,
+    ``model.{3,6,8,10}`` head.
+  * xinntao new-arch (``RRDBNet``): ``conv_first``,
+    ``RRDB_trunk.{i}.RDB{j}.conv{c}``, ``trunk_conv``, ``upconv1/2``,
+    ``HRconv``, ``conv_last``.
+  * BasicSR / Real-ESRGAN (``RealESRGAN_x4plus.pth``): ``conv_first``,
+    ``body.{i}.rdb{j}.conv{c}``, ``conv_body``, ``conv_up1/2``,
+    ``conv_hr``, ``conv_last`` (checkpoints wrapped in ``params`` /
+    ``params_ema`` are unwrapped by ``load_torch_checkpoint``).
+
 Layout conversions:
   * conv kernels: torch OIHW -> flax HWIO
   * linear kernels: torch (out, in) -> flax (in, out); when the linear
@@ -146,13 +162,111 @@ def convert_srgan_generator(state_dict: Mapping[str, Any]) -> dict:
     return {"params": params, "batch_stats": stats}
 
 
-def convert_esrgan_generator(state_dict: Mapping[str, Any]) -> dict:
-    """Reference ESRGAN generator state_dict -> flax variables dict.
+def _canonical_esrgan_sd(sd: Mapping[str, Any]) -> Mapping[str, Any]:
+    """Rewrite public RRDBNet naming schemes to the reference's names.
 
-    Torch module names per reference esrgan/generator.py:35-52 and
-    residual.py:17-129.
+    The computation graph of xinntao's ESRGAN (old- and new-arch) and
+    BasicSR's RRDBNet is identical to the reference generator
+    (esrgan/generator.py:35-52) — conv, N RRDB (3 dense blocks of 5
+    convs, 0.2 residual scaling), trunk conv + skip, two nearest+conv
+    upsamples, HR conv, out conv — only the module names differ.  This
+    maps each scheme onto the reference's keys so one converter serves
+    all of them.  Reference-named (or unrecognized) dicts pass through
+    unchanged; partially-mapped dicts raise rather than silently load.
     """
-    sd = strip_ddp_prefix(state_dict)
+    import re
+
+    keys = list(sd)
+    rules = None
+    if any(k.startswith("model.") for k in keys):
+        # xinntao old-arch: only released at 4x; the fixed sequential
+        # indices below ARE the 4x layout.
+        if "model.10.weight" not in sd:
+            raise ValueError(
+                "old-arch ESRGAN checkpoint without model.10 — only the "
+                "4x layout (model.0..model.10) is supported"
+            )
+        rules = [
+            (re.compile(r"^model\.0\.(weight|bias)$"), r"conv1.\1"),
+            (re.compile(r"^model\.1\.sub\.(\d+)\.(RDB\d)\.(conv[1-4])"
+                        r"\.0\.(weight|bias)$"),
+             r"blocks.\1.\2.\3.0.\4"),
+            (re.compile(r"^model\.1\.sub\.(\d+)\.(RDB\d)\.conv5"
+                        r"\.0\.(weight|bias)$"),
+             r"blocks.\1.\2.conv5.\3"),
+            (re.compile(r"^model\.1\.sub\.\d+\.(weight|bias)$"),
+             r"conv2.\1"),
+            (re.compile(r"^model\.3\.(weight|bias)$"), r"upsample1.\1"),
+            (re.compile(r"^model\.6\.(weight|bias)$"), r"upsample2.\1"),
+            (re.compile(r"^model\.8\.(weight|bias)$"), r"conv3.0.\1"),
+            (re.compile(r"^model\.10\.(weight|bias)$"), r"conv4.\1"),
+        ]
+    elif any(k.startswith("RRDB_trunk.") for k in keys):
+        rules = [
+            (re.compile(r"^conv_first\.(weight|bias)$"), r"conv1.\1"),
+            (re.compile(r"^RRDB_trunk\.(\d+)\.(RDB\d)\.(conv[1-4])"
+                        r"\.(weight|bias)$"),
+             r"blocks.\1.\2.\3.0.\4"),
+            (re.compile(r"^RRDB_trunk\.(\d+)\.(RDB\d)\.conv5"
+                        r"\.(weight|bias)$"),
+             r"blocks.\1.\2.conv5.\3"),
+            (re.compile(r"^trunk_conv\.(weight|bias)$"), r"conv2.\1"),
+            (re.compile(r"^upconv1\.(weight|bias)$"), r"upsample1.\1"),
+            (re.compile(r"^upconv2\.(weight|bias)$"), r"upsample2.\1"),
+            (re.compile(r"^HRconv\.(weight|bias)$"), r"conv3.0.\1"),
+            (re.compile(r"^conv_last\.(weight|bias)$"), r"conv4.\1"),
+        ]
+    elif any(k.startswith("body.") for k in keys):
+        w = sd.get("conv_first.weight")
+        if w is not None and _np(w).shape[1] != 3:
+            raise ValueError(
+                "BasicSR RRDBNet with a pixel-unshuffled input "
+                f"(conv_first expects {_np(w).shape[1]} channels) — "
+                "these 1x/2x Real-ESRGAN variants have no counterpart "
+                "in this generator; only 4x RGB-input models load"
+            )
+        rules = [
+            (re.compile(r"^conv_first\.(weight|bias)$"), r"conv1.\1"),
+            (re.compile(r"^body\.(\d+)\.rdb(\d)\.(conv[1-4])"
+                        r"\.(weight|bias)$"),
+             r"blocks.\1.RDB\2.\3.0.\4"),
+            (re.compile(r"^body\.(\d+)\.rdb(\d)\.conv5\.(weight|bias)$"),
+             r"blocks.\1.RDB\2.conv5.\3"),
+            (re.compile(r"^conv_body\.(weight|bias)$"), r"conv2.\1"),
+            (re.compile(r"^conv_up1\.(weight|bias)$"), r"upsample1.\1"),
+            (re.compile(r"^conv_up2\.(weight|bias)$"), r"upsample2.\1"),
+            (re.compile(r"^conv_hr\.(weight|bias)$"), r"conv3.0.\1"),
+            (re.compile(r"^conv_last\.(weight|bias)$"), r"conv4.\1"),
+        ]
+    if rules is None:
+        return sd
+
+    out: dict = {}
+    unmapped = []
+    for key, value in sd.items():
+        for pat, repl in rules:
+            new, n = pat.subn(repl, key)
+            if n:
+                out[new] = value
+                break
+        else:
+            unmapped.append(key)
+    if unmapped:
+        raise ValueError(
+            "external ESRGAN checkpoint has keys this converter does "
+            f"not recognize: {sorted(unmapped)[:8]}"
+        )
+    return out
+
+
+def convert_esrgan_generator(state_dict: Mapping[str, Any]) -> dict:
+    """ESRGAN generator state_dict -> flax variables dict.
+
+    Accepts the reference's module names (esrgan/generator.py:35-52,
+    residual.py:17-129) plus the public RRDBNet schemes (see
+    :func:`_canonical_esrgan_sd`).
+    """
+    sd = _canonical_esrgan_sd(strip_ddp_prefix(state_dict))
     params: dict = {}
 
     params["conv1"] = _conv(sd, "conv1")

@@ -295,9 +295,19 @@ def _load_torch_checkpoint(path: str, model: str | None) -> dict:
         )
     else:
         state_dict, epoch, phase = raw, 1, ""
+    if isinstance(state_dict, dict):
+        # BasicSR / Real-ESRGAN releases wrap the weights in
+        # {"params"} or {"params_ema"} (EMA preferred when present).
+        for wrapper in ("params_ema", "params"):
+            inner = state_dict.get(wrapper)
+            if isinstance(inner, dict) and inner:
+                state_dict = inner
+                break
     if model is None:
-        # Infer from the keys: ESRGAN generators have RRDB blocks.
-        is_esrgan = any("RDB" in k for k in state_dict)
+        # Infer from the keys: ESRGAN generators have (R)RDB blocks —
+        # uppercase in the reference/xinntao schemes, lowercase in
+        # BasicSR's.
+        is_esrgan = any("rdb" in k.lower() for k in state_dict)
         model = "esrgan" if is_esrgan else "srgan"
     if model.lower() == "esrgan":
         state = torch_compat.convert_esrgan_generator(state_dict)
