@@ -132,6 +132,34 @@ def test_basicsr_pth_end_to_end(tmp_path):
     assert got.shape == (1, 32, 32, 3)
 
 
+def test_cli_test_with_external_pth(tmp_path, monkeypatch):
+    """`torchsr test photo.png --checkpoint RealESRGAN_x4plus.pth`
+    upscales with an external-named checkpoint end to end (block count
+    and scale auto-detected from the converted tree)."""
+    from PIL import Image
+
+    from torchsr_tpu.cli import main
+
+    monkeypatch.chdir(tmp_path)
+    _, variables = _tiny_variables()
+    sd = {
+        _to_basicsr(k): v
+        for k, v in export_esrgan_generator(variables).items()
+    }
+    torch.save({"params_ema": sd}, "RealESRGAN_x4plus.pth")
+    rng = np.random.default_rng(3)
+    Image.fromarray(
+        rng.integers(0, 256, (20, 24, 3), dtype=np.uint8)
+    ).save("photo.png")
+
+    main([
+        "test", "photo.png", "--model", "esrgan",
+        "--checkpoint", "RealESRGAN_x4plus.pth",
+    ])
+    out = np.asarray(Image.open("upres-photo.png"))
+    assert out.shape == (80, 96, 3)
+
+
 def test_pixel_unshuffle_input_rejected():
     """2x Real-ESRGAN variants (12-channel conv_first) raise loudly."""
     sd = {
