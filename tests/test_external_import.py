@@ -160,6 +160,51 @@ def test_cli_test_with_external_pth(tmp_path, monkeypatch):
     assert out.shape == (80, 96, 3)
 
 
+@pytest.mark.slow
+def test_cli_finetune_from_external_pth(image_dir, tmp_path, monkeypatch):
+    """Fine-tuning public weights: `train --pretrain-epochs 0
+    --gan-checkpoint RealESRGAN_x4plus.pth` initializes the GAN phase
+    from the external generator (weights-only restore) and trains."""
+    from torchsr_tpu.cli import main
+
+    monkeypatch.chdir(tmp_path)
+    _, variables = _tiny_variables()
+    sd = {
+        _to_basicsr(k): v
+        for k, v in export_esrgan_generator(variables).items()
+    }
+    torch.save({"params_ema": sd}, "RealESRGAN_x4plus.pth")
+
+    main([
+        "train",
+        "--train-dir", image_dir,
+        "--model", "esrgan",
+        "--batch-size", "8",
+        "--epochs", "1",
+        "--pretrain-epochs", "0",
+        "--gan-checkpoint", "RealESRGAN_x4plus.pth",
+        "--data-workers", "2",
+        "--seed", "5",
+        "--disable-amp",
+        "--skip-image-save",
+        "--crop-size", "32",
+        "--gen-blocks", str(N_BLOCKS),
+        "--vgg-convs", "2",
+        "--sync-saves",
+    ])
+    import os
+
+    assert os.path.exists("esrgan-gan-latest.ckpt")
+    trained = load_checkpoint("esrgan-gan-latest.ckpt")
+    leaves0 = jax.tree_util.tree_leaves(variables["params"])
+    leaves1 = jax.tree_util.tree_leaves(trained["state"]["params"])
+    moved = any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(leaves0, leaves1)
+    )
+    assert moved, "GAN fine-tune epoch left external weights untouched"
+
+
 def test_pixel_unshuffle_input_rejected():
     """2x Real-ESRGAN variants (12-channel conv_first) raise loudly."""
     sd = {
