@@ -504,6 +504,27 @@ def parse_args(argv: list[str] | None = None) -> Namespace:
         help="Model architecture of the checkpoints (used only when "
              "converting reference .pth inputs).",
     )
+    doctor = commands.add_parser(
+        "doctor",
+        help="Diagnose the environment: backend/devices, compile-cache "
+             "state, env knobs, distributed env, checkpoints in the "
+             "working directory, optional dataset check.",
+    )
+    doctor.add_argument(
+        "--train-dir", type=str, default=None,
+        help="Also discover and split a dataset directory, reporting "
+             "image counts (catches empty/misnamed dataset dirs).",
+    )
+    doctor.add_argument(
+        "--json", action="store_true",
+        help="Emit the report as JSON instead of text.",
+    )
+    doctor.add_argument(
+        "--no-device-check", action="store_true",
+        help="Skip the tiny device matmul (avoids initializing the "
+             "accelerator, e.g. while a benchmark owns the chip).",
+    )
+
     args = parser.parse_args(argv)
 
     # Cross-flag validation, surfaced as argparse errors (exit 2 with
@@ -605,6 +626,12 @@ def main(argv: list[str] | None = None) -> None:
         from torchsr_tpu.infer.server import run_server
 
         run_server(args)
+        return
+
+    if args.function == "doctor":
+        from torchsr_tpu.utils.doctor import run_doctor
+
+        run_doctor(args)
         return
 
     if args.function == "interp":
