@@ -516,6 +516,12 @@ def parse_args(argv: list[str] | None = None) -> Namespace:
              "image counts (catches empty/misnamed dataset dirs).",
     )
     doctor.add_argument(
+        "--checkpoint", type=str, default=None,
+        help="Inspect a checkpoint file (host-only): format, epoch/"
+             "phase, param count, the block count and scale inference "
+             "would auto-detect, lossless-resume extras.",
+    )
+    doctor.add_argument(
         "--json", action="store_true",
         help="Emit the report as JSON instead of text.",
     )

@@ -192,8 +192,57 @@ def _dataset(train_dir: str | None) -> dict:
         return {"path": train_dir, "error": str(e)}
 
 
+def _checkpoint_info(path: str | None) -> dict:
+    """What's in this checkpoint file?  Host-only (no device needed):
+    format, training metadata, and the architecture the inference path
+    would size itself to (infer/runner.py:66-84's detection rules)."""
+    if not path:
+        return {"skipped": "pass --checkpoint to inspect a file"}
+    import numpy as np
+
+    try:
+        from torchsr_tpu.utils.checkpoint import load_checkpoint
+
+        ckpt = load_checkpoint(path)
+        if ckpt is None:
+            return {"path": path, "error": "file not found"}
+        state = ckpt["state"]
+        params = state.get("params", state)
+        leaves = [np.asarray(x) for x in _tree_leaves(params)]
+        num_blocks = len(
+            [k for k in params if str(k).startswith("block")]
+        )
+        n_up = len([k for k in params if str(k).startswith("upsample")])
+        extras = ckpt.get("extra") or {}
+        return {
+            "path": path,
+            "format": "torch .pth (converted)"
+            if path.endswith((".pth", ".pt")) else "msgpack .ckpt",
+            "epoch": ckpt.get("epoch"),
+            "phase": ckpt.get("phase") or "(none)",
+            "generator_params": int(
+                sum(leaf.size for leaf in leaves)
+            ),
+            "detected_blocks": num_blocks,
+            "detected_scale": 2 ** n_up if n_up else 4,
+            "has_batch_stats": bool(state.get("batch_stats")),
+            "lossless_extras": sorted(extras) or
+            "none (weights-only: cross-phase or external checkpoint)",
+        }
+    except Exception as e:
+        return {"path": path, "error": f"{type(e).__name__}: {e}"}
+
+
+def _tree_leaves(tree):
+    import jax
+
+    return jax.tree_util.tree_leaves(tree)
+
+
 def collect_report(
-    train_dir: str | None = None, device_check: bool = True
+    train_dir: str | None = None,
+    device_check: bool = True,
+    checkpoint: str | None = None,
 ) -> dict:
     report = {
         "versions": _versions(),
@@ -205,6 +254,7 @@ def collect_report(
         "cwd_checkpoints": _checkpoints(os.getcwd())
         or ["none (train first, or pass --checkpoint paths explicitly)"],
         "dataset": _dataset(train_dir),
+        "checkpoint": _checkpoint_info(checkpoint),
     }
     if device_check:
         report["device_sanity"] = _device_sanity()
@@ -229,6 +279,7 @@ def run_doctor(args) -> dict:
     report = collect_report(
         train_dir=getattr(args, "train_dir", None),
         device_check=not getattr(args, "no_device_check", False),
+        checkpoint=getattr(args, "checkpoint", None),
     )
     if getattr(args, "json", False):
         print(json.dumps(report, indent=2, default=str))
