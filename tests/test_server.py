@@ -116,6 +116,42 @@ def test_empty_body_is_400(live_server):
     assert exc_info.value.code == 400
 
 
+def test_oversized_body_is_413(live_server):
+    """A Content-Length above the admission limit is rejected before
+    the body is read."""
+    body = _png_bytes(16, 16)
+    req = urllib.request.Request(
+        live_server + "/upscale", data=body, method="POST",
+        headers={"Content-Length": str(200 * 10 ** 6)},
+    )
+    with pytest.raises(urllib.error.HTTPError) as err:
+        urllib.request.urlopen(req, timeout=60)
+    assert err.value.code == 413
+    assert "MB limit" in json.loads(err.value.read())["error"]
+
+
+def test_oversized_input_pixels_is_413(live_server, monkeypatch):
+    """A decoded image above the megapixel cap is rejected from the
+    PNG header, without a full decode or a device call."""
+    # a solid-color 7000x7000 PNG compresses to a few hundred KB
+    buf = io.BytesIO()
+    Image.fromarray(
+        np.zeros((7000, 7000, 3), dtype=np.uint8)
+    ).save(buf, format="PNG")
+    with pytest.raises(urllib.error.HTTPError) as err:
+        _post(live_server + "/upscale", buf.getvalue())
+    assert err.value.code == 413
+    assert "caps inputs" in json.loads(err.value.read())["error"]
+
+
+def test_limits_disabled_with_zero():
+    from torchsr_tpu.infer.server import _Service
+
+    svc = _Service(max_request_mb=0, max_input_mp=0)
+    assert svc.max_request_bytes == 0
+    assert svc.max_input_pixels == 0
+
+
 def test_unknown_route_is_404(live_server):
     with pytest.raises(urllib.error.HTTPError) as exc_info:
         urllib.request.urlopen(live_server + "/nope", timeout=30)

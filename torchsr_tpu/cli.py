@@ -405,6 +405,17 @@ def parse_args(argv: list[str] | None = None) -> Namespace:
              "all devices (shard_map over the data mesh; see "
              "infer/multichip.py) — scale-out serving on a slice.",
     )
+    serve.add_argument(
+        "--max-request-mb", type=float, default=64,
+        help="Reject request bodies larger than this before reading "
+             "them (HTTP 413). 0 disables the limit.",
+    )
+    serve.add_argument(
+        "--max-input-mp", type=float, default=32,
+        help="Reject decoded inputs larger than this many megapixels "
+             "(HTTP 413) — bounds the device time one request can "
+             "claim. 0 disables the limit.",
+    )
 
     ev = commands.add_parser(
         "eval",

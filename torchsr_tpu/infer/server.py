@@ -68,6 +68,10 @@ import numpy as np
 _FORMATS = {"png": "PNG", "jpeg": "JPEG", "jpg": "JPEG"}
 
 
+class RequestTooLarge(ValueError):
+    """Request exceeds an admission limit — mapped to HTTP 413."""
+
+
 class _Service:
     """Transport-agnostic core: decode -> locked device call -> encode.
     Subclasses implement ``_upscale(uint8 HWC) -> uint8 HWC`` (the
@@ -76,8 +80,20 @@ class _Service:
     latency on PCIe/tunneled runtimes) and ``warmup()``, and populate
     ``meta``."""
 
-    def __init__(self, overlap: int | None = None):
+    def __init__(
+        self,
+        overlap: int | None = None,
+        max_request_mb: float = 64,
+        max_input_mp: float = 32,
+    ):
         self.overlap = overlap
+        # Admission limits (0 disables): bound what one request can
+        # make the host allocate (body bytes) and the device compute
+        # (decoded megapixels) — a 32 MP input is ~4x a 4K frame and
+        # already a multi-second device call; beyond that is almost
+        # certainly abuse or a client bug, rejected as 413.
+        self.max_request_bytes = int(max_request_mb * 1e6)
+        self.max_input_pixels = int(max_input_mp * 1e6)
         self._lock = threading.Lock()
         self.ready = False
         self.meta: dict = {}
@@ -132,8 +148,20 @@ class _Service:
                 raise ValueError(
                     f"unsupported format {fmt!r} (use png or jpeg)"
                 )
-            img = Image.open(io.BytesIO(body)).convert("RGB")
-            arr = np.asarray(img, np.uint8)
+            img = Image.open(io.BytesIO(body))
+            # size comes from the header — check BEFORE .convert()
+            # triggers the full decode
+            if (
+                self.max_input_pixels
+                and img.width * img.height > self.max_input_pixels
+            ):
+                raise RequestTooLarge(
+                    f"input is {img.width}x{img.height} "
+                    f"({img.width * img.height / 1e6:.1f} MP); this "
+                    f"server caps inputs at "
+                    f"{self.max_input_pixels / 1e6:g} MP"
+                )
+            arr = np.asarray(img.convert("RGB"), np.uint8)
             t_dev = time.time()
             with self._lock:
                 sr = self._upscale(
@@ -172,10 +200,12 @@ class _Service:
 class UpscaleService(_Service):
     """Artifact-backed service around a StableHLO blob."""
 
-    def __init__(self, artifact_path: str, overlap: int | None = None):
+    def __init__(
+        self, artifact_path: str, overlap: int | None = None, **limits
+    ):
         from torchsr_tpu.infer.serving import ServedGenerator
 
-        super().__init__(overlap)
+        super().__init__(overlap, **limits)
         self.generator = ServedGenerator(artifact_path)
         self.meta = {"backend": "artifact", **self.generator.meta}
 
@@ -215,6 +245,7 @@ class CheckpointUpscaleService(_Service):
         overlap: int | None = None,
         disable_amp: bool = False,
         shard_tiles: bool = False,
+        **limits,
     ):
         from argparse import Namespace
 
@@ -226,7 +257,7 @@ class CheckpointUpscaleService(_Service):
         )
         from torchsr_tpu.registry import select_test_model
 
-        super().__init__(overlap)
+        super().__init__(overlap, **limits)
         model = model.lower()
         args = Namespace(
             model=model, checkpoint=checkpoint,
@@ -379,12 +410,27 @@ def _make_handler(service: _Service):
             if length <= 0:
                 self._send_json(400, {"error": "empty request body"})
                 return
+            if (
+                service.max_request_bytes
+                and length > service.max_request_bytes
+            ):
+                # rejected BEFORE reading: the declared size alone is
+                # enough, no need to buffer the payload first
+                self._send_json(413, {
+                    "error": f"request body {length} bytes exceeds the "
+                             f"{service.max_request_bytes / 1e6:g} MB "
+                             f"limit",
+                })
+                return
             body = self.rfile.read(length)
             try:
                 payload, ctype = service.upscale_bytes(
                     body, overlap=overlap, fmt=fmt, quality=quality,
                     compress=compress,
                 )
+            except RequestTooLarge as exc:
+                self._send_json(413, {"error": str(exc)})
+                return
             except Exception as exc:  # undecodable image, bad params
                 self._send_json(400, {"error": str(exc)})
                 return
@@ -423,9 +469,13 @@ def run_server(args) -> None:
     """The ``serve`` subcommand: block serving ``args.artifact`` or
     ``args.checkpoint``/default checkpoint."""
     overlap = args.tile_overlap if args.tile_overlap else None
+    limits = {
+        "max_request_mb": getattr(args, "max_request_mb", 64),
+        "max_input_mp": getattr(args, "max_input_mp", 32),
+    }
     if getattr(args, "artifact", None):
         service: _Service = UpscaleService(
-            args.artifact, overlap=overlap
+            args.artifact, overlap=overlap, **limits
         )
         what = f"artifact {args.artifact}"
     else:
@@ -437,6 +487,7 @@ def run_server(args) -> None:
             overlap=overlap,
             disable_amp=getattr(args, "disable_amp", False),
             shard_tiles=getattr(args, "shard_tiles", False),
+            **limits,
         )
         what = f"checkpoint {service.meta['checkpoint']}"
     server = make_server(
