@@ -515,6 +515,22 @@ def parse_args(argv: list[str] | None = None) -> Namespace:
         help="Model architecture of the checkpoints (used only when "
              "converting reference .pth inputs).",
     )
+    pack = commands.add_parser(
+        "pack",
+        help="Decode a dataset directory once into a .tsrpack archive "
+             "of raw uint8 images; train/eval then mmap it with zero "
+             "per-sample decode cost (--train-dir/--eval-dir accept "
+             "the archive anywhere a directory works).",
+    )
+    pack.add_argument(
+        "source", type=str,
+        help="Dataset directory of .png/.jpg/.jpeg images.",
+    )
+    pack.add_argument(
+        "output", type=str,
+        help="Output archive path (conventionally .tsrpack).",
+    )
+
     doctor = commands.add_parser(
         "doctor",
         help="Diagnose the environment: backend/devices, compile-cache "
@@ -643,6 +659,12 @@ def main(argv: list[str] | None = None) -> None:
         from torchsr_tpu.infer.server import run_server
 
         run_server(args)
+        return
+
+    if args.function == "pack":
+        from torchsr_tpu.data.packed import pack_dataset
+
+        pack_dataset(args.source, args.output, log=print)
         return
 
     if args.function == "doctor":

@@ -52,8 +52,9 @@ class _ImageCache:
     duplicate decode of the same image is possible but harmless.
     """
 
-    def __init__(self, max_bytes: int) -> None:
+    def __init__(self, max_bytes: int, reader=_decode_rgb) -> None:
         self._max_bytes = max_bytes
+        self._reader = reader
         self._used = 0
         self._lock = threading.Lock()
         from collections import OrderedDict
@@ -66,7 +67,7 @@ class _ImageCache:
             if cached is not None:
                 self._data.move_to_end(path)
                 return cached
-        arr = _decode_rgb(path)
+        arr = self._reader(path)
         with self._lock:
             if path not in self._data:
                 while self._data and self._used + arr.nbytes > self._max_bytes:
@@ -132,6 +133,7 @@ class TrainLoader:
         shard_index: int = 0,
         cache_bytes: int = 32 << 30,
         shuffle_window: int = 0,
+        reader=None,
     ) -> None:
         if not paths:
             raise ValueError("TrainLoader needs at least one image")
@@ -150,7 +152,12 @@ class TrainLoader:
         # matter how far the dataset exceeds the cache budget (Grain's
         # window-shuffle design; 0 = global shuffle).
         self.shuffle_window = int(shuffle_window)
-        self._cache = _ImageCache(cache_bytes)
+        # A custom reader (e.g. a PackedDataset's mmap view getter) is
+        # its own cache — the OS page cache — so the RAM LRU is skipped.
+        self._cache = _ImageCache(
+            0 if reader is not None else cache_bytes,
+            reader or _decode_rgb,
+        )
         self._pool = ThreadPoolExecutor(max_workers=self.workers)
 
         # Samples per shard, DistributedSampler-style wrap-around padding,
@@ -253,6 +260,7 @@ class EvalLoader:
         num_shards: int = 1,
         shard_index: int = 0,
         cache_bytes: int = 8 << 30,
+        reader=None,
     ) -> None:
         if not paths:
             raise ValueError("EvalLoader needs at least one image")
@@ -260,7 +268,10 @@ class EvalLoader:
         self.batch_size = batch_size
         self.crop_size = crop_size
         self.seed = seed
-        self._cache = _ImageCache(cache_bytes)
+        self._cache = _ImageCache(
+            0 if reader is not None else cache_bytes,
+            reader or _decode_rgb,
+        )
         self._pool = ThreadPoolExecutor(max_workers=max(1, workers))
         indices = np.arange(len(self.paths))
         self.indices = indices[shard_index::num_shards]
@@ -320,29 +331,44 @@ def initialize_datasets(
     reference's 90/10 split of one directory.
     """
     from torchsr_tpu.data.discovery import discover_images, split_dataset
+    from torchsr_tpu.data.packed import PackedDataset, is_pack
 
     del upscale_factor  # synthesis happens on device; scale passed there
-    images = discover_images(train_directory)
+
+    def _source(directory: str):
+        """(name list, reader-or-None) for a directory OR a .tsrpack.
+
+        A pack stores entries in discover_images order, so both forms
+        of the same dataset produce identical splits and batches for
+        the same seed (tests/test_packed.py pins byte-equality)."""
+        if is_pack(directory):
+            pack = PackedDataset(directory)
+            return pack.names, pack.get
+        return discover_images(directory), None
+
+    images, train_reader = _source(train_directory)
     if eval_directory:
         train_paths = images
-        test_paths = discover_images(eval_directory)
+        test_paths, eval_reader = _source(eval_directory)
         if not test_paths:
             raise ValueError(
                 f"no supported images found in eval dir {eval_directory}"
             )
     else:
         train_paths, test_paths = split_dataset(images, 0.1, seed)
+        eval_reader = train_reader
     extra = {} if cache_bytes is None else {"cache_bytes": cache_bytes}
     train_loader = TrainLoader(
         train_paths, batch_size, crop_size,
         dataset_multiplier=dataset_multiplier, workers=workers,
         seed=seed, num_shards=num_shards, shard_index=shard_index,
-        shuffle_window=shuffle_window, **extra,
+        shuffle_window=shuffle_window, reader=train_reader, **extra,
     )
     eval_loader = EvalLoader(
         test_paths, batch_size, crop_size,
         dataset_multiplier=dataset_multiplier, workers=workers,
         seed=seed, num_shards=num_shards, shard_index=shard_index,
+        reader=eval_reader,
     )
     return (
         train_loader,

@@ -181,7 +181,17 @@ def _dataset(train_dir: str | None) -> dict:
             discover_images,
             split_dataset,
         )
+        from torchsr_tpu.data.packed import PackedDataset, is_pack
 
+        if is_pack(train_dir):
+            names = PackedDataset(train_dir).names
+            train, test = split_dataset(names)
+            return {
+                "path": train_dir,
+                "format": "tsrpack archive (zero-decode mmap)",
+                "train_images": len(train),
+                "val_images": len(test),
+            }
         train, test = split_dataset(discover_images(train_dir))
         return {
             "path": train_dir,
