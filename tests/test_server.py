@@ -23,6 +23,10 @@ from torchsr_tpu.infer.server import make_server
 from torchsr_tpu.models import SRGANGenerator
 
 
+# server objects by base URL, for tests that poke service internals
+_SERVERS: dict = {}
+
+
 @pytest.fixture(scope="module")
 def live_server(tmp_path_factory):
     root = tmp_path_factory.mktemp("server")
@@ -39,6 +43,7 @@ def live_server(tmp_path_factory):
     thread = threading.Thread(target=server.serve_forever, daemon=True)
     thread.start()
     base = f"http://127.0.0.1:{server.server_address[1]}"
+    _SERVERS[base] = server
     yield base
     server.shutdown()
     server.server_close()
@@ -147,9 +152,45 @@ def test_oversized_input_pixels_is_413(live_server, monkeypatch):
 def test_limits_disabled_with_zero():
     from torchsr_tpu.infer.server import _Service
 
-    svc = _Service(max_request_mb=0, max_input_mp=0)
+    svc = _Service(max_request_mb=0, max_input_mp=0, max_pending=0)
     assert svc.max_request_bytes == 0
     assert svc.max_input_pixels == 0
+    assert svc.admit() and svc.admit() and svc.admit()  # unbounded
+    for _ in range(3):
+        svc.release()
+
+
+def test_load_shedding_503(live_server):
+    """Beyond max_pending in-flight upscales, new requests shed with
+    503 + Retry-After instead of queueing on the device lock."""
+    import urllib.request as rq
+
+    service = _SERVERS[live_server].service
+    body = _png_bytes(16, 16)
+    # Saturate admission directly (deterministic — no timing games):
+    # claim every slot, then a real request must shed.
+    claimed = 0
+    while service.admit():
+        claimed += 1
+        assert claimed <= service.max_pending
+    try:
+        with pytest.raises(urllib.error.HTTPError) as err:
+            _post(live_server + "/upscale", body)
+        assert err.value.code == 503
+        assert err.value.headers["Retry-After"] == "1"
+        assert "saturated" in json.loads(err.value.read())["error"]
+        # /metrics reports the shed + in-flight counters
+        metrics = json.loads(
+            rq.urlopen(live_server + "/metrics", timeout=30).read()
+        )
+        assert metrics["shed"] >= 1
+        assert metrics["in_flight"] == claimed
+    finally:
+        for _ in range(claimed):
+            service.release()
+    # slots released: the same request now succeeds
+    resp = _post(live_server + "/upscale", body)
+    assert resp.status == 200
 
 
 def test_unknown_route_is_404(live_server):

@@ -411,6 +411,13 @@ def parse_args(argv: list[str] | None = None) -> Namespace:
              "them (HTTP 413). 0 disables the limit.",
     )
     serve.add_argument(
+        "--max-pending", type=int, default=8,
+        help="Shed load (HTTP 503 + Retry-After) beyond this many "
+             "in-flight upscales — the device serializes requests, so "
+             "a bounded queue keeps tail latency bounded and gives "
+             "autoscalers a saturation signal. 0 = unbounded queueing.",
+    )
+    serve.add_argument(
         "--max-input-mp", type=float, default=32,
         help="Reject decoded inputs larger than this many megapixels "
              "(HTTP 413) — bounds the device time one request can "

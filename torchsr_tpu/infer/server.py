@@ -85,6 +85,7 @@ class _Service:
         overlap: int | None = None,
         max_request_mb: float = 64,
         max_input_mp: float = 32,
+        max_pending: int = 8,
     ):
         self.overlap = overlap
         # Admission limits (0 disables): bound what one request can
@@ -94,6 +95,15 @@ class _Service:
         # certainly abuse or a client bug, rejected as 413.
         self.max_request_bytes = int(max_request_mb * 1e6)
         self.max_input_pixels = int(max_input_mp * 1e6)
+        # Load shedding: device calls serialize behind _lock, so under
+        # overload requests queue and tail latency grows without bound.
+        # Beyond max_pending in-flight upscales (queued + executing)
+        # new ones get 503 + Retry-After — the signal autoscalers and
+        # load balancers act on.  0 = unbounded queueing.
+        self.max_pending = int(max_pending)
+        self._in_flight = 0
+        self._shed = 0
+        self._admission_lock = threading.Lock()
         self._lock = threading.Lock()
         self.ready = False
         self.meta: dict = {}
@@ -113,15 +123,32 @@ class _Service:
         wall latency, the device-locked share of the mean, uptime."""
         with self._stats_lock:
             n = self._requests
+            with self._admission_lock:
+                in_flight, shed = self._in_flight, self._shed
             return {
                 "ready": self.ready,
                 "uptime_s": round(time.time() - self._started, 1),
                 "requests": n,
                 "errors": self._errors,
+                "in_flight": in_flight,
+                "shed": shed,
                 "latency_ms_mean": round(self._total_ms / n, 1) if n else None,
                 "latency_ms_last": round(self._last_ms, 1) if n else None,
                 "device_ms_mean": round(self._device_ms / n, 1) if n else None,
             }
+
+    def admit(self) -> bool:
+        """Reserve an upscale slot; False = shed this request (503)."""
+        with self._admission_lock:
+            if self.max_pending and self._in_flight >= self.max_pending:
+                self._shed += 1
+                return False
+            self._in_flight += 1
+            return True
+
+    def release(self) -> None:
+        with self._admission_lock:
+            self._in_flight -= 1
 
     def _upscale(self, arr: np.ndarray, overlap: int | None) -> np.ndarray:
         raise NotImplementedError
@@ -346,10 +373,14 @@ def _make_handler(service: _Service):
         def log_message(self, fmt, *args):  # noqa: N802
             pass
 
-        def _send(self, code: int, body: bytes, ctype: str) -> None:
+        def _send(
+            self, code: int, body: bytes, ctype: str, headers=()
+        ) -> None:
             self.send_response(code)
             self.send_header("Content-Type", ctype)
             self.send_header("Content-Length", str(len(body)))
+            for key, value in headers:
+                self.send_header(key, value)
             self.end_headers()
             self.wfile.write(body)
 
@@ -423,6 +454,20 @@ def _make_handler(service: _Service):
                 })
                 return
             body = self.rfile.read(length)
+            if not service.admit():
+                # load shedding: the device queue is full — tell the
+                # balancer/autoscaler rather than queueing unboundedly
+                self._send(
+                    503,
+                    json.dumps({
+                        "error": f"server saturated "
+                                 f"({service.max_pending} upscales in "
+                                 f"flight); retry",
+                    }).encode(),
+                    "application/json",
+                    headers=(("Retry-After", "1"),),
+                )
+                return
             try:
                 payload, ctype = service.upscale_bytes(
                     body, overlap=overlap, fmt=fmt, quality=quality,
@@ -434,6 +479,8 @@ def _make_handler(service: _Service):
             except Exception as exc:  # undecodable image, bad params
                 self._send_json(400, {"error": str(exc)})
                 return
+            finally:
+                service.release()
             self._send(200, payload, ctype)
 
     return Handler
@@ -472,6 +519,7 @@ def run_server(args) -> None:
     limits = {
         "max_request_mb": getattr(args, "max_request_mb", 64),
         "max_input_mp": getattr(args, "max_input_mp", 32),
+        "max_pending": getattr(args, "max_pending", 8),
     }
     if getattr(args, "artifact", None):
         service: _Service = UpscaleService(
