@@ -316,6 +316,27 @@ def test_metrics_endpoint(live_server):
 
 
 @pytest.mark.slow
+def test_metrics_prometheus_format(live_server):
+    import urllib.request as rq
+
+    # trigger at least one request so counters are non-trivial
+    _post(live_server + "/upscale", _png_bytes(16, 16))
+    resp = rq.urlopen(
+        live_server + "/metrics?format=prometheus", timeout=30
+    )
+    assert resp.headers["Content-Type"].startswith("text/plain")
+    body = resp.read().decode()
+    assert "# TYPE torchsr_requests counter" in body
+    assert "torchsr_ready 1" in body
+    assert "# HELP torchsr_shed " in body
+    # Accept-header negotiation works too
+    req = rq.Request(
+        live_server + "/metrics", headers={"Accept": "text/plain"}
+    )
+    body2 = rq.urlopen(req, timeout=30).read().decode()
+    assert "# TYPE torchsr_requests counter" in body2
+
+
 def test_sigterm_graceful_shutdown(ckpt_path, tmp_path):
     """`torchsr serve` + SIGTERM == drain and exit 0 (what k8s sends)."""
     import os

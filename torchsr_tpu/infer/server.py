@@ -366,6 +366,39 @@ class CheckpointUpscaleService(_Service):
         return np.asarray(u8)
 
 
+_PROM_HELP = {
+    "ready": "1 once the warmup forward has completed",
+    "uptime_s": "seconds since service start",
+    "requests": "total upscale requests served",
+    "errors": "total failed upscale requests",
+    "in_flight": "upscales currently queued or executing",
+    "shed": "requests rejected 503 by load shedding",
+    "latency_ms_mean": "mean request wall latency",
+    "latency_ms_last": "last request wall latency",
+    "device_ms_mean": "mean device-locked share of latency",
+}
+
+_PROM_COUNTERS = {"requests", "errors", "shed"}
+
+
+def _prometheus(metrics: dict) -> str:
+    """Render the /metrics dict in Prometheus exposition format."""
+    lines = []
+    for key, value in metrics.items():
+        name = f"torchsr_{key}"
+        if value is None:
+            continue
+        if isinstance(value, bool):
+            value = int(value)
+        help_text = _PROM_HELP.get(key)
+        if help_text:
+            lines.append(f"# HELP {name} {help_text}")
+        kind = "counter" if key in _PROM_COUNTERS else "gauge"
+        lines.append(f"# TYPE {name} {kind}")
+        lines.append(f"{name} {value}")
+    return "\n".join(lines) + "\n"
+
+
 def _make_handler(service: _Service):
     class Handler(BaseHTTPRequestHandler):
         # quiet per-request stderr chatter; errors still surface in
@@ -407,7 +440,21 @@ def _make_handler(service: _Service):
             elif path == "/metadata":
                 self._send_json(200, service.meta)
             elif path == "/metrics":
-                self._send_json(200, service.metrics())
+                query = self.path.partition("?")[2]
+                accept = self.headers.get("Accept", "")
+                if (
+                    "format=prometheus" in query
+                    or "text/plain" in accept
+                ):
+                    # Prometheus exposition format — what a fleet
+                    # scraper actually ingests (JSON stays the default
+                    # for humans/curl).
+                    self._send(
+                        200, _prometheus(service.metrics()).encode(),
+                        "text/plain; version=0.0.4",
+                    )
+                else:
+                    self._send_json(200, service.metrics())
             else:
                 self._send_json(404, {"error": f"no route {path}"})
 
