@@ -124,6 +124,37 @@ def test_cli_pack_and_train(pack_pair, tmp_path, monkeypatch):
     assert os.path.exists("srgan-psnr-latest.ckpt")
 
 
+@pytest.mark.slow
+def test_eval_accepts_pack(pack_pair, tmp_path, monkeypatch):
+    """`torchsr eval ds.tsrpack` scores identically to the directory."""
+    import json
+
+    import jax
+    import jax.numpy as jnp
+
+    from torchsr_tpu.cli import main
+    from torchsr_tpu.models import SRGANGenerator
+    from torchsr_tpu.utils.checkpoint import save_checkpoint
+
+    src, out = pack_pair
+    monkeypatch.chdir(tmp_path)
+    gen = SRGANGenerator(num_residual=1)
+    variables = gen.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)), train=False
+    )
+    save_checkpoint(
+        "srgan-gan-best.ckpt", 1, "gan",
+        jax.tree.map(np.asarray, dict(variables)),
+    )
+    main(["eval", src, "--model", "srgan", "--report", "dir.json"])
+    main(["eval", out, "--model", "srgan", "--report", "pack.json"])
+    a = json.load(open("dir.json"))
+    b = json.load(open("pack.json"))
+    assert a["mean_psnr"] == b["mean_psnr"]
+    assert a["mean_ssim"] == b["mean_ssim"]
+    assert a["images"] == b["images"]
+
+
 def test_pack_empty_dir_errors(tmp_path):
     (tmp_path / "empty").mkdir()
     with pytest.raises(ValueError, match="no supported images"):

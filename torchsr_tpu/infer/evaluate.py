@@ -106,7 +106,15 @@ def run_eval(args: Namespace, generator_cls) -> dict:
                 params=variables,
             )
 
-    paths = discover_images(args.image_dir)
+    from torchsr_tpu.data.packed import PackedDataset, is_pack
+
+    if is_pack(args.image_dir):
+        # a .tsrpack works anywhere a dataset directory does
+        pack = PackedDataset(args.image_dir)
+        paths, read_image = pack.names, pack.get
+    else:
+        paths = discover_images(args.image_dir)
+        read_image = image_io.load_image
     if not paths:
         raise ValueError(
             f"no supported images found in directory {args.image_dir}"
@@ -117,7 +125,7 @@ def run_eval(args: Namespace, generator_cls) -> dict:
     mse_px_sum = 0.0  # sum of per-image MSE * pixel count
     px_sum = 0
     for path in paths:
-        hr_u8 = image_io.load_image(path)
+        hr_u8 = read_image(path)
         if crop:
             if min(hr_u8.shape[:2]) < crop:
                 print(f"skipping {path}: smaller than --crop {crop}")
