@@ -337,6 +337,21 @@ def test_metrics_prometheus_format(live_server):
     assert "# TYPE torchsr_requests counter" in body2
 
 
+def test_http11_keepalive_two_requests_one_connection(live_server):
+    import http.client
+
+    host = live_server.split("//", 1)[1]
+    conn = http.client.HTTPConnection(host, timeout=60)
+    body = _png_bytes(16, 16)
+    for _ in range(2):
+        conn.request("POST", "/upscale", body=body)
+        resp = conn.getresponse()
+        assert resp.status == 200
+        assert resp.version == 11
+        resp.read()  # drain so the connection is reusable
+    conn.close()
+
+
 def test_sigterm_graceful_shutdown(ckpt_path, tmp_path):
     """`torchsr serve` + SIGTERM == drain and exit 0 (what k8s sends)."""
     import os

@@ -401,6 +401,11 @@ def _prometheus(metrics: dict) -> str:
 
 def _make_handler(service: _Service):
     class Handler(BaseHTTPRequestHandler):
+        # HTTP/1.1 keep-alive: every response carries Content-Length
+        # (all paths go through _send), so persistent connections are
+        # safe and clients skip a TCP handshake per frame.
+        protocol_version = "HTTP/1.1"
+
         # quiet per-request stderr chatter; errors still surface in
         # responses
         def log_message(self, fmt, *args):  # noqa: N802
