@@ -45,6 +45,37 @@ def test_tiled_matches_monolithic():
     assert 10 * np.log10(1 / max(mse, 1e-12)) > 45.0
 
 
+def test_tiled_random_geometry_sweep():
+    """Seeded sweep over awkward sizes / tile / overlap combinations:
+    output geometry always exact; equivalence holds whenever the
+    overlap covers the toy generator's receptive field."""
+    rng = np.random.default_rng(42)
+    import pytest
+
+    for _ in range(8):
+        h = int(rng.integers(9, 97))
+        w = int(rng.integers(9, 97))
+        tile = int(rng.choice([16, 24, 32]))
+        overlap = int(rng.choice([0, 4, 8]))
+        if overlap >= tile:
+            overlap = tile // 2
+        img = jnp.asarray(rng.random((h, w, 3)), jnp.float32)
+        out = tiled_upscale(
+            _toy_sr, img, scale=4, tile=tile, overlap=overlap,
+            tile_batch=3,
+        )
+        assert out.shape == (4 * h, 4 * w, 3), (h, w, tile, overlap)
+        if overlap >= 4:
+            # seam error decays with overlap (the ramp down-weights the
+            # neighbor tile's wrong border pixels): a 4px ramp leaves
+            # ~6% weight on them, an 8px ramp ~1.5%
+            floor = 40.0 if overlap >= 8 else 25.0
+            mono = _toy_sr(img[None])[0]
+            mse = float(np.mean((np.asarray(out) - np.asarray(mono)) ** 2))
+            psnr = 10 * np.log10(1 / max(mse, 1e-12))
+            assert psnr > floor, (h, w, tile, overlap, psnr)
+
+
 def test_tiled_rejects_degenerate_overlap():
     """overlap >= tile would zero the stride (range step 0 /
     IndexError); the library boundary raises a clear ValueError."""
