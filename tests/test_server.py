@@ -228,6 +228,17 @@ def test_upscale_png_compress_level(live_server):
     assert exc_info.value.code == 400
 
 
+def test_upscale_webp_format(live_server):
+    resp = _post(
+        live_server + "/upscale?format=webp&quality=80",
+        _png_bytes(16, 16),
+    )
+    assert resp.headers["Content-Type"] == "image/webp"
+    img = Image.open(io.BytesIO(resp.read()))
+    assert img.format == "WEBP"
+    assert img.size == (64, 64)
+
+
 def test_bad_format_is_400(live_server):
     with pytest.raises(urllib.error.HTTPError) as exc_info:
         _post(live_server + "/upscale?format=tiff", _png_bytes(16, 16))

@@ -39,7 +39,8 @@ Endpoints:
 - ``POST /upscale`` — request body: an encoded image (PNG/JPEG/
   anything Pillow decodes).  Response: the super-resolved image (the
   model's scale — 4x default, auto-detected from the checkpoint),
-  PNG by default; ``?format=jpeg`` (optional ``&quality=N``, default
+  PNG by default; ``?format=jpeg`` or ``?format=webp`` (optional
+  ``&quality=N``, default
   92) trades exactness for a much cheaper encode + smaller response —
   a 4K PNG encode costs whole seconds of host CPU, often more than
   the TPU spent upscaling; ``?compress=N`` (zlib level 0-9, default 6)
@@ -65,7 +66,9 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
 
-_FORMATS = {"png": "PNG", "jpeg": "JPEG", "jpg": "JPEG"}
+_FORMATS = {
+    "png": "PNG", "jpeg": "JPEG", "jpg": "JPEG", "webp": "WEBP",
+}
 
 
 class RequestTooLarge(ValueError):
@@ -173,7 +176,8 @@ class _Service:
             pil_fmt = _FORMATS.get(fmt.lower())
             if pil_fmt is None:
                 raise ValueError(
-                    f"unsupported format {fmt!r} (use png or jpeg)"
+                    f"unsupported format {fmt!r} (use png, jpeg, or "
+                    f"webp)"
                 )
             img = Image.open(io.BytesIO(body))
             # size comes from the header — check BEFORE .convert()
@@ -200,6 +204,11 @@ class _Service:
             if pil_fmt == "JPEG":
                 out.save(buf, format="JPEG", quality=int(quality))
                 payload, ctype = buf.getvalue(), "image/jpeg"
+            elif pil_fmt == "WEBP":
+                # ~25-30% smaller than JPEG at equal quality; honors
+                # the same ?quality=N knob
+                out.save(buf, format="WEBP", quality=int(quality))
+                payload, ctype = buf.getvalue(), "image/webp"
             else:
                 # zlib level: a 4K PNG encode costs whole seconds of a
                 # small serving host; level 1 cuts that ~30% (more on
