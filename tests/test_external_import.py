@@ -216,6 +216,64 @@ def test_pixel_unshuffle_input_rejected():
         convert_esrgan_generator(sd)
 
 
+@pytest.mark.parametrize("scheme", ["rrdbnet", "basicsr"])
+def test_externalize_matches_independent_maps(scheme):
+    """The outbound renamer agrees with this file's independently
+    written reference->external maps, and roundtrips through the
+    importer back to the original params."""
+    from torchsr_tpu.models.torch_compat import externalize_esrgan_sd
+
+    _, variables = _tiny_variables()
+    sd_ref = export_esrgan_generator(variables)
+    ext = externalize_esrgan_sd(sd_ref, scheme)
+    mapper = _to_new_arch if scheme == "rrdbnet" else _to_basicsr
+    assert set(ext) == {mapper(k) for k in sd_ref}
+    got = convert_esrgan_generator(ext)
+    _assert_params_equal(got["params"], variables["params"])
+
+
+def test_externalize_rejects_unknown(tmp_path):
+    from torchsr_tpu.models.torch_compat import externalize_esrgan_sd
+
+    with pytest.raises(ValueError, match="unknown scheme"):
+        externalize_esrgan_sd({}, "caffe")
+    with pytest.raises(ValueError, match="cannot externalize"):
+        externalize_esrgan_sd(
+            {"discriminator.weight": torch.zeros(1)}, "basicsr"
+        )
+
+
+def test_export_tool_basicsr_scheme(tmp_path, monkeypatch):
+    """tools/export_torch_checkpoint.py --scheme basicsr writes a
+    params-wrapped archive that loads back through every entry point."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    from torchsr_tpu.utils.checkpoint import save_checkpoint
+
+    repo = Path(__file__).resolve().parents[1]
+    monkeypatch.chdir(tmp_path)
+    gen, variables = _tiny_variables()
+    save_checkpoint(
+        "esrgan-gan-best.ckpt", 4, "esrgan-gan",
+        jax.tree_util.tree_map(np.asarray, dict(variables)),
+    )
+    proc = subprocess.run(
+        [sys.executable, str(repo / "tools/export_torch_checkpoint.py"),
+         "esrgan-gan-best.ckpt", "--model", "esrgan",
+         "--scheme", "basicsr", "--out", "exported.pth"],
+        capture_output=True, text=True, cwd=str(tmp_path),
+        env={**__import__("os").environ},
+    )
+    assert proc.returncode == 0, proc.stderr
+    raw = torch.load("exported.pth", weights_only=False)
+    assert set(raw) == {"params"}
+    assert "conv_first.weight" in raw["params"]
+    loaded = load_checkpoint("exported.pth")
+    _assert_params_equal(loaded["state"]["params"], variables["params"])
+
+
 def test_unrecognized_external_keys_rejected():
     _, variables = _tiny_variables()
     sd = {

@@ -27,6 +27,14 @@ def main() -> None:
     parser.add_argument("checkpoint", help="native .ckpt path")
     parser.add_argument("--model", choices=["srgan", "esrgan"])
     parser.add_argument("--out")
+    parser.add_argument(
+        "--scheme", default="reference",
+        choices=["reference", "rrdbnet", "basicsr"],
+        help="Module-naming scheme (ESRGAN only): 'reference' (the "
+             "TorchSR layout, wrapped {'epoch','phase','state'}), "
+             "'rrdbnet' (xinntao new-arch, plain state_dict), "
+             "'basicsr' (Real-ESRGAN toolchains, wrapped {'params'}).",
+    )
     args = parser.parse_args()
 
     import torch
@@ -45,14 +53,31 @@ def main() -> None:
     if model == "esrgan":
         sd = torch_compat.export_esrgan_generator(state)
     else:
+        if args.scheme != "reference":
+            parser.error(
+                "--scheme applies to ESRGAN only (SRGAN has no public "
+                "RRDBNet counterpart)"
+            )
         sd = torch_compat.export_srgan_generator(state)
 
     out = args.out or os.path.splitext(args.checkpoint)[0] + ".pth"
-    torch.save(
-        {"epoch": ckpt["epoch"], "phase": ckpt["phase"], "state": sd},
-        out,
+    if args.scheme == "reference":
+        payload = {
+            "epoch": ckpt["epoch"], "phase": ckpt["phase"], "state": sd,
+        }
+    elif args.scheme == "rrdbnet":
+        # xinntao new-arch loaders expect a bare state_dict
+        payload = torch_compat.externalize_esrgan_sd(sd, "rrdbnet")
+        sd = payload
+    else:
+        # BasicSR/Real-ESRGAN loaders expect {"params": state_dict}
+        sd = torch_compat.externalize_esrgan_sd(sd, "basicsr")
+        payload = {"params": sd}
+    torch.save(payload, out)
+    print(
+        f"Wrote {out} ({len(sd)} tensors, model={model}, "
+        f"scheme={args.scheme})"
     )
-    print(f"Wrote {out} ({len(sd)} tensors, model={model})")
 
 
 if __name__ == "__main__":

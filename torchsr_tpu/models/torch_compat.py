@@ -259,6 +259,61 @@ def _canonical_esrgan_sd(sd: Mapping[str, Any]) -> Mapping[str, Any]:
     return out
 
 
+EXPORT_SCHEMES = ("reference", "rrdbnet", "basicsr")
+
+
+def externalize_esrgan_sd(
+    sd: Mapping[str, Any], scheme: str
+) -> dict:
+    """Reference-named ESRGAN state_dict -> a public RRDBNet naming.
+
+    The outbound counterpart of :func:`_canonical_esrgan_sd`: lets a
+    generator trained here run in xinntao's ESRGAN ("rrdbnet", the
+    new-arch module names) or BasicSR/Real-ESRGAN ("basicsr")
+    toolchains.  "reference" passes through unchanged.
+    """
+    import re
+
+    if scheme not in EXPORT_SCHEMES:
+        raise ValueError(
+            f"unknown scheme {scheme!r} (choose from {EXPORT_SCHEMES})"
+        )
+    if scheme == "reference":
+        return dict(sd)
+    if scheme == "rrdbnet":
+        block = (r"^blocks\.(\d+)\.(RDB\d)\.(conv\d)(?:\.0)?\.",
+                 r"RRDB_trunk.\1.\2.\3.")
+        heads = (
+            ("conv1.", "conv_first."), ("conv2.", "trunk_conv."),
+            ("upsample1.", "upconv1."), ("upsample2.", "upconv2."),
+            ("conv3.0.", "HRconv."), ("conv4.", "conv_last."),
+        )
+    else:  # basicsr
+        block = (r"^blocks\.(\d+)\.RDB(\d)\.(conv\d)(?:\.0)?\.",
+                 r"body.\1.rdb\2.\3.")
+        heads = (
+            ("conv1.", "conv_first."), ("conv2.", "conv_body."),
+            ("upsample1.", "conv_up1."), ("upsample2.", "conv_up2."),
+            ("conv3.0.", "conv_hr."), ("conv4.", "conv_last."),
+        )
+    out = {}
+    pat = re.compile(block[0])
+    for key, value in sd.items():
+        new, n = pat.subn(block[1], key)
+        if not n:
+            for prefix, repl in heads:
+                if new.startswith(prefix):
+                    new = repl + new[len(prefix):]
+                    break
+            else:
+                raise ValueError(
+                    f"cannot externalize key {key!r} (not a reference-"
+                    f"named ESRGAN generator state_dict)"
+                )
+        out[new] = value
+    return out
+
+
 def convert_esrgan_generator(state_dict: Mapping[str, Any]) -> dict:
     """ESRGAN generator state_dict -> flax variables dict.
 
