@@ -529,19 +529,26 @@ def _make_handler(service: _Service):
                     headers=(("Retry-After", "1"),),
                 )
                 return
+            # The slot is released BEFORE any response bytes go out:
+            # once a client sees a response, its slot is free — no
+            # window where a finished request still counts against
+            # admission (a sequential client could otherwise get shed
+            # by its own previous request).
+            error = None
             try:
                 payload, ctype = service.upscale_bytes(
                     body, overlap=overlap, fmt=fmt, quality=quality,
                     compress=compress,
                 )
             except RequestTooLarge as exc:
-                self._send_json(413, {"error": str(exc)})
-                return
+                error = (413, str(exc))
             except Exception as exc:  # undecodable image, bad params
-                self._send_json(400, {"error": str(exc)})
-                return
+                error = (400, str(exc))
             finally:
                 service.release()
+            if error is not None:
+                self._send_json(error[0], {"error": error[1]})
+                return
             self._send(200, payload, ctype)
 
     return Handler
