@@ -46,8 +46,10 @@ def test_sniff_and_roundtrip(pack_pair):
     from torchsr_tpu.data.discovery import discover_images
     from torchsr_tpu.data.loader import _decode_rgb
 
+    import os
+
     for path in discover_images(src):
-        name = path.rsplit("/", 1)[-1]
+        name = os.path.basename(path)
         np.testing.assert_array_equal(pack.get(name), _decode_rgb(path))
     pack.close()
 
