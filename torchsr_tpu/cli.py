@@ -406,6 +406,23 @@ def parse_args(argv: list[str] | None = None) -> Namespace:
              "infer/multichip.py) — scale-out serving on a slice.",
     )
     serve.add_argument(
+        "--batch-requests", action="store_true",
+        help="Checkpoint backend: coalesce tiles from CONCURRENT "
+             "requests into shared device batches (dynamic batching; "
+             "infer/batching.py). Small frames that cannot fill "
+             "--tile-batch on their own ride one forward together — "
+             "up to tile-batch x throughput for thumbnail-scale "
+             "fleets; big frames keep the on-device tiled path.",
+    )
+    serve.add_argument(
+        "--batch-wait-ms", type=float, default=2.0,
+        help="Dynamic batching: how long the device worker waits "
+             "after the first queued tile for the batch to fill "
+             "before launching short. Under sustained load the next "
+             "batch fills while the previous call runs, so this "
+             "gates only the idle->busy edge.",
+    )
+    serve.add_argument(
         "--max-request-mb", type=float, default=64,
         help="Reject request bodies larger than this before reading "
              "them (HTTP 413). 0 disables the limit.",

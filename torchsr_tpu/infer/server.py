@@ -156,8 +156,20 @@ class _Service:
     def _upscale(self, arr: np.ndarray, overlap: int | None) -> np.ndarray:
         raise NotImplementedError
 
+    def _guarded_upscale(
+        self, arr: np.ndarray, overlap: int | None
+    ) -> np.ndarray:
+        """Device-access policy around ``_upscale``: one forward at a
+        time by default.  Backends with their own device scheduling
+        (the dynamic tile batcher) override this."""
+        with self._lock:
+            return self._upscale(arr, overlap)
+
     def warmup(self) -> None:
         raise NotImplementedError
+
+    def close(self) -> None:
+        """Release backend resources (worker threads); idempotent."""
 
     def upscale_bytes(
         self,
@@ -194,10 +206,9 @@ class _Service:
                 )
             arr = np.asarray(img.convert("RGB"), np.uint8)
             t_dev = time.time()
-            with self._lock:
-                sr = self._upscale(
-                    arr, overlap if overlap is not None else self.overlap
-                )
+            sr = self._guarded_upscale(
+                arr, overlap if overlap is not None else self.overlap
+            )
             dev_ms = (time.time() - t_dev) * 1e3
             out = Image.fromarray(np.asarray(sr, np.uint8))
             buf = io.BytesIO()
@@ -270,7 +281,14 @@ class CheckpointUpscaleService(_Service):
     over every visible device (shard_map over a 1-D data mesh, zero
     collectives in the forward; infer/multichip.py) — scale-out
     serving on a slice, checkpoint backend only (an artifact is one
-    opaque compiled program and cannot run inside shard_map)."""
+    opaque compiled program and cannot run inside shard_map).
+
+    ``batch_requests=True`` turns on cross-request dynamic batching
+    (infer/batching.py): a request whose frame tiles to FEWER than
+    ``tile_batch`` tiles is routed through a shared TileBatcher, so
+    concurrent small frames fill one device batch together instead of
+    each paying a padded serialized forward.  Frames big enough to
+    fill a batch on their own keep the fully on-device tiled path."""
 
     def __init__(
         self,
@@ -281,6 +299,8 @@ class CheckpointUpscaleService(_Service):
         overlap: int | None = None,
         disable_amp: bool = False,
         shard_tiles: bool = False,
+        batch_requests: bool = False,
+        batch_wait_ms: float = 2.0,
         **limits,
     ):
         from argparse import Namespace
@@ -322,6 +342,27 @@ class CheckpointUpscaleService(_Service):
 
             self._mesh = make_mesh()
             self._variables = replicate(self._variables, self._mesh)
+        self._batcher = None
+        if batch_requests:
+            from torchsr_tpu.infer.batching import TileBatcher
+
+            def _batch_forward(batch_np: np.ndarray) -> np.ndarray:
+                import jax.numpy as jnp
+
+                x = jnp.asarray(batch_np)
+                # the service lock is taken HERE, by the batcher's
+                # device worker, so enqueueing request threads never
+                # hold it while waiting on their tiles (and the
+                # unbatched big-frame path still serializes cleanly
+                # against batched calls)
+                with self._lock:
+                    out = self._infer(self._variables, x)
+                    return np.asarray(out, np.float32)
+
+            self._batcher = TileBatcher(
+                _batch_forward, tile=self.tile, scale=self.scale,
+                batch=self.tile_batch, max_wait_ms=batch_wait_ms,
+            )
         self.meta = {
             "backend": "checkpoint",
             "model": model,
@@ -333,24 +374,77 @@ class CheckpointUpscaleService(_Service):
             "shard_devices": (
                 int(self._mesh.devices.size) if self._mesh else 1
             ),
+            "batch_requests": bool(self._batcher is not None),
         }
 
     def warmup(self) -> None:
-        """Compile the tiled executable on a tile-sized dummy frame."""
+        """Compile the tiled executable on a tile-sized dummy frame
+        (and, with dynamic batching on, the batcher's direct
+        ``(tile_batch, tile, tile, 3)`` forward)."""
         dummy = np.zeros(
             (self.tile + 8, self.tile + 8, 3), np.uint8
         )
         self._upscale(dummy, self.overlap)
+        if self._batcher is not None:
+            tiny = np.zeros((self.tile, self.tile, 3), np.uint8)
+            self._upscale_batched(tiny, self._resolve_overlap(None))
         self.ready = True
+
+    def _resolve_overlap(self, overlap: int | None) -> int:
+        if overlap is None:
+            overlap = 8
+        return max(0, min(int(overlap), self.tile - 1))
+
+    def _guarded_upscale(
+        self, arr: np.ndarray, overlap: int | None
+    ) -> np.ndarray:
+        """Route small frames through the shared tile batcher; frames
+        that fill a device batch alone keep the on-device tiled path
+        (which also owns the lock for its whole forward)."""
+        if self._batcher is not None:
+            from torchsr_tpu.infer.batching import count_tiles
+
+            ov = self._resolve_overlap(overlap)
+            h, w = arr.shape[:2]
+            if count_tiles(h, w, self.tile, ov) < self.tile_batch:
+                return self._upscale_batched(arr, ov)
+        with self._lock:
+            return self._upscale(arr, overlap)
+
+    def _upscale_batched(self, arr: np.ndarray, overlap: int) -> np.ndarray:
+        """Host extract -> shared batched device forward -> host
+        composite (numpy mirror of the on-device overlap-add; pinned
+        equal by tests/test_batching.py)."""
+        from torchsr_tpu.infer.batching import (
+            composite_tiles,
+            extract_tiles,
+        )
+
+        x = np.asarray(arr, np.float32) / np.float32(255.0)
+        tiles, grid, padded = extract_tiles(x, self.tile, overlap)
+        sr = self._batcher.upscale_tiles(tiles)
+        out = composite_tiles(
+            sr, grid, padded, x.shape[:2], self.tile, overlap,
+            self.scale,
+        )
+        return (np.clip(out, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+
+    def metrics(self) -> dict:
+        m = super().metrics()
+        if self._batcher is not None:
+            m.update(self._batcher.stats())
+        return m
+
+    def close(self) -> None:
+        if self._batcher is not None:
+            self._batcher.close()
 
     def _upscale(self, arr: np.ndarray, overlap: int | None) -> np.ndarray:
         import jax.numpy as jnp
 
         from torchsr_tpu.infer.tiled import tiled_upscale
 
-        if overlap is None:
-            overlap = 8
-        overlap = min(int(overlap), self.tile - 1)
+        overlap = self._resolve_overlap(overlap)
         x = jnp.asarray(
             np.asarray(arr, np.float32) / np.float32(255.0), jnp.float32
         )
@@ -385,9 +479,13 @@ _PROM_HELP = {
     "latency_ms_mean": "mean request wall latency",
     "latency_ms_last": "last request wall latency",
     "device_ms_mean": "mean device-locked share of latency",
+    "batched_calls": "dynamic batching: device forwards launched",
+    "batched_tiles": "dynamic batching: tiles upscaled",
+    "batch_fill_mean": "dynamic batching: mean batch fill fraction",
 }
 
-_PROM_COUNTERS = {"requests", "errors", "shed"}
+_PROM_COUNTERS = {"requests", "errors", "shed", "batched_calls",
+                  "batched_tiles"}
 
 
 def _prometheus(metrics: dict) -> str:
@@ -603,6 +701,8 @@ def run_server(args) -> None:
             overlap=overlap,
             disable_amp=getattr(args, "disable_amp", False),
             shard_tiles=getattr(args, "shard_tiles", False),
+            batch_requests=getattr(args, "batch_requests", False),
+            batch_wait_ms=getattr(args, "batch_wait_ms", 2.0),
             **limits,
         )
         what = f"checkpoint {service.meta['checkpoint']}"
@@ -639,6 +739,7 @@ def run_server(args) -> None:
         pass
     finally:
         server.server_close()
+        service.close()
         if prev is not None:
             signal.signal(signal.SIGTERM, prev)
         stats = service.metrics()
