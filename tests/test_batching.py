@@ -127,6 +127,30 @@ def test_forward_error_propagates_and_close_rejects():
         b.upscale_tiles(_tiles(1))
 
 
+def test_wrong_forward_shape_fails_caller_not_worker():
+    """A misbehaving forward must fail the waiting request, and the
+    worker must survive to serve the next one."""
+    bad = {"on": True}
+
+    def forward(x):
+        if bad["on"]:
+            return x  # un-upscaled: wrong output shape
+        return _nearest4x(x)
+
+    b = TileBatcher(forward, tile=TILE, scale=SCALE, batch=2,
+                    max_wait_ms=0)
+    try:
+        with pytest.raises(ValueError, match="forward returned"):
+            b.upscale_tiles(_tiles(1))
+        bad["on"] = False
+        tiles = _tiles(2, seed=9)
+        np.testing.assert_array_equal(
+            b.upscale_tiles(tiles), _nearest4x(tiles)
+        )
+    finally:
+        b.close()
+
+
 def test_count_tiles_matches_extraction():
     for h, w, tile, ov in [
         (5, 9, 8, 2), (8, 8, 8, 0), (30, 17, 8, 3), (64, 64, 16, 8),

@@ -263,26 +263,37 @@ class TileBatcher:
                 self._run_batch(items)
 
     def _run_batch(self, items) -> None:
-        k = sum(stop - start for _, start, stop in items)
-        parts = [job.tiles[start:stop] for job, start, stop in items]
-        if k < self.batch:
-            # pad with copies of the final tile: a fixed shape keeps the
-            # single compiled executable; padding output is discarded
-            parts.append(
-                np.broadcast_to(
-                    parts[-1][-1], (self.batch - k,) + parts[-1].shape[1:]
-                )
-            )
-        batch = np.concatenate(parts, axis=0)
+        # Everything that can raise lives in this try: a failure (bad
+        # forward, wrong output shape, batch-assembly bug) must fail
+        # the waiting CALLERS, never kill the worker thread — a dead
+        # worker would hang every future request.
+        t4 = self.tile * self.scale
         try:
+            k = sum(stop - start for _, start, stop in items)
+            parts = [
+                job.tiles[start:stop] for job, start, stop in items
+            ]
+            if k < self.batch:
+                # pad with copies of the final tile: a fixed shape
+                # keeps the single compiled executable; padding output
+                # is discarded
+                parts.append(
+                    np.broadcast_to(
+                        parts[-1][-1],
+                        (self.batch - k,) + parts[-1].shape[1:],
+                    )
+                )
+            batch = np.concatenate(parts, axis=0)
             sr = np.asarray(self._forward(batch), np.float32)
+            if sr.shape != (self.batch, t4, t4, batch.shape[-1]):
+                raise ValueError(
+                    f"forward returned {sr.shape}, expected "
+                    f"({self.batch}, {t4}, {t4}, {batch.shape[-1]})"
+                )
         except BaseException as exc:  # propagate to every waiting caller
-            done = set()
             for job, _, _ in items:
                 job.error = exc
-                if id(job) not in done:
-                    done.add(id(job))
-                    job.event.set()
+                job.event.set()
             return
         off = 0
         for job, start, stop in items:
