@@ -739,6 +739,12 @@ def run_server(args) -> None:
         pass
     finally:
         server.server_close()
+        # handler threads are daemonic: wait (bounded) for in-flight
+        # requests to finish before tearing down the batcher, so a
+        # SIGTERM drain completes the work it admitted
+        deadline = time.time() + 30
+        while service.metrics()["in_flight"] > 0 and time.time() < deadline:
+            time.sleep(0.05)
         service.close()
         if prev is not None:
             signal.signal(signal.SIGTERM, prev)
