@@ -351,3 +351,67 @@ def test_batched_meta_and_cli_flags(batching_servers):
         ["serve", "--batch-requests", "--batch-wait-ms", "5"]
     )
     assert args.batch_requests is True and args.batch_wait_ms == 5.0
+
+
+def test_sharded_batched_forward_matches_unsharded(tmp_path):
+    """--shard-tiles + --batch-requests: the cross-request batched
+    forward runs under shard_map over the mesh batch axis (plain
+    sharded jit would all-gather and replicate the Pallas kernel) and
+    matches the single-device batched service up to uint8 rounding."""
+    from torchsr_tpu.infer.server import CheckpointUpscaleService
+    from torchsr_tpu.utils.checkpoint import save_checkpoint
+
+    gen = SRGANGenerator(num_residual=1)
+    variables = gen.init(
+        jax.random.PRNGKey(5), jnp.zeros((1, 8, 8, 3)), train=False
+    )
+    path = str(tmp_path / "srgan-gan-best.ckpt")
+    save_checkpoint(
+        path, 1, "gan", jax.tree.map(np.asarray, dict(variables))
+    )
+    base = CheckpointUpscaleService(
+        model="srgan", checkpoint=path, tile=16, tile_batch=8,
+        batch_requests=True, batch_wait_ms=1.0,
+    )
+    sharded = CheckpointUpscaleService(
+        model="srgan", checkpoint=path, tile=16, tile_batch=8,
+        shard_tiles=True, batch_requests=True, batch_wait_ms=1.0,
+    )
+    try:
+        assert sharded.meta["shard_devices"] == 8
+        rng = np.random.default_rng(11)
+        # 20x28 at tile 16 / overlap 8 -> fewer than 8 tiles: takes
+        # the batched small-frame path on both services
+        frame = rng.integers(0, 256, (20, 28, 3), dtype=np.uint8)
+        a = base._guarded_upscale(frame, None)
+        b = sharded._guarded_upscale(frame, None)
+        assert a.shape == b.shape == (80, 112, 3)
+        assert np.all(np.abs(a.astype(int) - b.astype(int)) <= 1)
+        assert np.mean(a == b) > 0.99
+        assert base.metrics()["batched_tiles"] > 0
+        assert sharded.metrics()["batched_tiles"] > 0
+    finally:
+        base.close()
+        sharded.close()
+
+
+def test_sharded_batched_indivisible_warns(tmp_path):
+    """tile_batch not divisible by the device count: constructing the
+    service warns and falls back to the single-device batched jit."""
+    from torchsr_tpu.infer.server import CheckpointUpscaleService
+    from torchsr_tpu.utils.checkpoint import save_checkpoint
+
+    gen = SRGANGenerator(num_residual=1)
+    variables = gen.init(
+        jax.random.PRNGKey(5), jnp.zeros((1, 8, 8, 3)), train=False
+    )
+    path = str(tmp_path / "srgan-gan-best.ckpt")
+    save_checkpoint(
+        path, 1, "gan", jax.tree.map(np.asarray, dict(variables))
+    )
+    with pytest.warns(UserWarning, match="not divisible"):
+        svc = CheckpointUpscaleService(
+            model="srgan", checkpoint=path, tile=16, tile_batch=6,
+            shard_tiles=True, batch_requests=True, batch_wait_ms=1.0,
+        )
+    svc.close()

@@ -295,6 +295,11 @@ class TileBatcher:
                 job.error = exc
                 job.event.set()
             return
+        # Bump the call counter BEFORE waking any caller so that a
+        # stats() read taken immediately after upscale_tiles() returns
+        # observes a consistent (calls, tiles) pair.
+        with self._cond:
+            self._calls += 1
         off = 0
         for job, start, stop in items:
             n = stop - start
@@ -307,5 +312,3 @@ class TileBatcher:
                 self._tiles_done += n
             if finished:
                 job.event.set()
-        with self._cond:
-            self._calls += 1

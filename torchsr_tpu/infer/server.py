@@ -346,6 +346,38 @@ class CheckpointUpscaleService(_Service):
         if batch_requests:
             from torchsr_tpu.infer.batching import TileBatcher
 
+            # With --shard-tiles, route the cross-request batch through
+            # shard_map over the mesh's batch axis (pallas_call has no
+            # SPMD rule: a plain sharded jit would all-gather the batch
+            # and replicate the kernel on every chip).  Needs the fixed
+            # tile batch to divide the device count.
+            batched_infer = self._infer
+            if self._mesh is not None:
+                n_dev = int(self._mesh.devices.size)
+                if self.tile_batch % n_dev == 0:
+                    from jax import shard_map
+                    from jax.sharding import PartitionSpec as P
+
+                    batched_infer = jax.jit(
+                        shard_map(
+                            self._infer_fn,
+                            mesh=self._mesh,
+                            in_specs=(P(), P("data")),
+                            out_specs=P("data"),
+                            check_vma=False,
+                        )
+                    )
+                else:
+                    import warnings
+
+                    warnings.warn(
+                        "--batch-requests with --shard-tiles: tile_batch"
+                        f" ({self.tile_batch}) is not divisible by the"
+                        f" device count ({n_dev}); small-frame batched"
+                        " forwards will run single-device.",
+                        stacklevel=2,
+                    )
+
             def _batch_forward(batch_np: np.ndarray) -> np.ndarray:
                 import jax.numpy as jnp
 
@@ -356,7 +388,7 @@ class CheckpointUpscaleService(_Service):
                 # unbatched big-frame path still serializes cleanly
                 # against batched calls)
                 with self._lock:
-                    out = self._infer(self._variables, x)
+                    out = batched_infer(self._variables, x)
                     return np.asarray(out, np.float32)
 
             self._batcher = TileBatcher(
