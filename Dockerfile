@@ -15,9 +15,20 @@ COPY pyproject.toml README.md ./
 COPY torchsr_tpu ./torchsr_tpu
 RUN pip install --no-cache-dir .[observability]
 
-# Optional: bake in torchvision's VGG19 weights for the perceptual loss
-# (the reference pre-bakes the same file, Dockerfile:11). Mount or COPY
-# vgg19-dcbb9e9d.pth and pass --vgg-weights at train time.
+# Bake in torchvision's VGG19 weights for the perceptual loss, exactly
+# like the reference image (reference Dockerfile:11): fetch + sha256
+# verify + convert to the native msgpack form in the auto-discovery
+# cache, so `torchsr train` needs no --vgg-weights flag. Build with
+# --build-arg FETCH_VGG=0 on airgapped builders (then mount the file
+# or run tools/fetch_vgg19.py --from-file at deploy time).
+COPY tools/fetch_vgg19.py ./tools/fetch_vgg19.py
+ARG FETCH_VGG=1
+RUN if [ "$FETCH_VGG" = "1" ]; then \
+      pip install --no-cache-dir torch --index-url https://download.pytorch.org/whl/cpu \
+      && python tools/fetch_vgg19.py \
+      && rm -f ~/.cache/torchsr_tpu/vgg19-dcbb9e9d.pth \
+      && pip uninstall -y torch; \
+    fi
 
 # Bundle the fixed progress-sample image (reference Dockerfile:35): the
 # per-epoch SR render of media/waterfalls-low-res.png lands in output/.

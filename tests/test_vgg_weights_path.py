@@ -134,3 +134,80 @@ def test_cli_plumbs_vgg_weights_flag():
         ["train", "--vgg-weights", "w.pth", "--model", "srgan"]
     )
     assert args.vgg_weights == "w.pth"
+
+
+def test_discover_vgg_weights_search_order(monkeypatch, tmp_path, vgg_pth):
+    """Auto-discovery: env var first, then the fetch-script cache, then
+    torchvision's hub cache (where the reference image bakes the file,
+    reference Dockerfile:11)."""
+    from torchsr_tpu.train.trainer import discover_vgg_weights
+
+    home = tmp_path / "home"
+    home.mkdir()
+    monkeypatch.setenv("HOME", str(home))
+    monkeypatch.delenv("TORCHSR_VGG_WEIGHTS", raising=False)
+    monkeypatch.delenv("TORCH_HOME", raising=False)
+    assert discover_vgg_weights() is None
+
+    hub = home / ".cache" / "torch" / "hub" / "checkpoints"
+    hub.mkdir(parents=True)
+    hub_pth = hub / "vgg19-dcbb9e9d.pth"
+    hub_pth.write_bytes(b"x")
+    assert discover_vgg_weights() == str(hub_pth)
+
+    ours = home / ".cache" / "torchsr_tpu"
+    ours.mkdir(parents=True)
+    ckpt = ours / "vgg19.ckpt"
+    ckpt.write_bytes(b"x")
+    assert discover_vgg_weights() == str(ckpt)
+
+    monkeypatch.setenv("TORCHSR_VGG_WEIGHTS", vgg_pth)
+    assert discover_vgg_weights() == vgg_pth
+    # env var set but missing: no silent fallback to stale caches
+    monkeypatch.setenv("TORCHSR_VGG_WEIGHTS", "/nonexistent/w.pth")
+    assert discover_vgg_weights() is None
+
+
+def test_auto_discovered_weights_load_into_trainer(monkeypatch, vgg_pth):
+    """No --vgg-weights flag + TORCHSR_VGG_WEIGHTS set: the trainer
+    loads the pretrained features and flags vgg_pretrained."""
+    monkeypatch.setenv("TORCHSR_VGG_WEIGHTS", vgg_pth)
+    trainer = _trainer(None)
+    assert trainer.vgg_pretrained is True
+    got = np.asarray(
+        jax.device_get(trainer.vgg_params)["conv0"]["conv"]["kernel"]
+    )
+    np.testing.assert_allclose(
+        got, _expected_conv0_kernel(vgg_pth), atol=0
+    )
+
+
+def test_random_vgg_warns_at_gan_start(monkeypatch, vgg_pth, capsys):
+    """Without pretrained weights the GAN phase starts with a loud
+    warning; with them it stays silent."""
+    monkeypatch.delenv("TORCHSR_VGG_WEIGHTS", raising=False)
+    monkeypatch.setenv("HOME", "/nonexistent-home")
+    trainer = _trainer(None)
+    assert trainer.vgg_pretrained is False
+    trainer._warn_if_random_vgg()
+    out = capsys.readouterr().out
+    assert "RANDOM VGG features" in out
+    monkeypatch.setenv("TORCHSR_VGG_WEIGHTS", vgg_pth)
+    trainer = _trainer(None)
+    trainer._warn_if_random_vgg()
+    assert "RANDOM VGG" not in capsys.readouterr().out
+
+
+def test_fetch_vgg19_from_file(vgg_pth, tmp_path):
+    """tools/fetch_vgg19.py --from-file: sha-verifies, caches, converts
+    (synthetic file -> sha mismatch path also pinned)."""
+    cache = tmp_path / "cache"
+    # the synthetic .pth has the wrong sha: the tool must refuse it
+    result = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "fetch_vgg19.py"),
+         "--from-file", vgg_pth, "--cache-dir", str(cache)],
+        capture_output=True, text=True,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert result.returncode == 1
+    assert "sha256 mismatch" in result.stderr

@@ -168,9 +168,12 @@ def parse_args(argv: list[str] | None = None) -> Namespace:
     )
     train.add_argument(
         "--vgg-weights", type=str,
-        help="Path to a torchvision VGG19 .pth file for the perceptual "
-             "loss (converted automatically). Without it a deterministic "
-             "random-feature VGG is used.",
+        help="Path to a torchvision VGG19 .pth (converted automatically) "
+             "or converted .ckpt for the perceptual loss. Without it, "
+             "weights are auto-discovered from TORCHSR_VGG_WEIGHTS, "
+             "~/.cache/torchsr_tpu/ (tools/fetch_vgg19.py), or the "
+             "torch hub cache; if none exist a deterministic "
+             "random-feature VGG is used (with a loud warning).",
     )
     train.add_argument(
         "--num-devices", type=int,

@@ -229,6 +229,14 @@ class GANTrainer:
         )
         vgg_params = vgg_vars["params"]
         vgg_path = getattr(self.args, "vgg_weights", None)
+        explicit = bool(vgg_path)
+        if not vgg_path:
+            vgg_path = discover_vgg_weights()
+            if vgg_path:
+                self.logger.log(
+                    f"Auto-discovered VGG19 weights: {vgg_path}"
+                )
+        self.vgg_pretrained = False
         if vgg_path and os.path.exists(vgg_path):
             loaded = _load_vgg_weights(vgg_path)
             # A full 16-conv hub file also serves a truncated trunk
@@ -237,7 +245,8 @@ class GANTrainer:
             loaded = {k: v for k, v in loaded.items() if k in vgg_params}
             vgg_params = _match_tree(vgg_params, loaded)
             self.logger.log(f"Loaded VGG19 weights from {vgg_path}")
-        elif vgg_path:
+            self.vgg_pretrained = True
+        elif explicit:
             raise FileNotFoundError(
                 f"--vgg-weights file not found: {vgg_path}"
             )
@@ -1185,9 +1194,25 @@ class GANTrainer:
         # non-writer processes from reading before the file lands.
         self._wait_saves(barrier=True)
 
+    def _warn_if_random_vgg(self) -> None:
+        """Loud GAN-phase-start warning when the perceptual loss has no
+        pretrained features.  The reference always trains against
+        pretrained VGG19 (its image pre-bakes vgg19-dcbb9e9d.pth,
+        reference Dockerfile:11, loss.py:28-34); random features are a
+        fundamentally different loss — make that impossible to miss."""
+        if not getattr(self, "vgg_pretrained", False):
+            self.logger.log(
+                "WARNING: no pretrained VGG19 weights found — the "
+                "perceptual loss is using RANDOM VGG features. "
+                "Results will NOT match the reference recipe. "
+                "Fetch weights with `python tools/fetch_vgg19.py` or "
+                "pass --vgg-weights / set TORCHSR_VGG_WEIGHTS."
+            )
+
     def _gan_train(self) -> None:
         self.logger.log("=" * 80)
         self.logger.log("Starting training loop")
+        self._warn_if_random_vgg()
         self._wait_saves(barrier=True)  # the resume branch reads files
         epoch = 1
         self.best_psnr = -1.0
@@ -1291,6 +1316,37 @@ class GANTrainer:
                 self._preemption = None
             self.profiler.stop()
             self.logger.finish()
+
+
+def discover_vgg_weights() -> str | None:
+    """Locate pretrained VGG19 weights without an explicit flag.
+
+    Search order: ``TORCHSR_VGG_WEIGHTS`` env var, the fetch script's
+    cache (``~/.cache/torchsr_tpu/``), then torchvision's hub cache
+    (``$TORCH_HOME/hub/checkpoints`` or ``~/.cache/torch/hub/
+    checkpoints``) — the reference Docker image pre-bakes
+    ``vgg19-dcbb9e9d.pth`` into exactly that hub cache
+    (reference Dockerfile:11)."""
+    env = os.environ.get("TORCHSR_VGG_WEIGHTS")
+    if env:
+        return env if os.path.exists(env) else None
+    home = os.path.expanduser("~")
+    torch_home = os.environ.get(
+        "TORCH_HOME", os.path.join(home, ".cache", "torch")
+    )
+    candidates = [
+        os.path.join(home, ".cache", "torchsr_tpu", "vgg19.ckpt"),
+        os.path.join(
+            home, ".cache", "torchsr_tpu", "vgg19-dcbb9e9d.pth"
+        ),
+        os.path.join(
+            torch_home, "hub", "checkpoints", "vgg19-dcbb9e9d.pth"
+        ),
+    ]
+    for path in candidates:
+        if os.path.exists(path):
+            return path
+    return None
 
 
 def _load_vgg_weights(path: str) -> dict:
