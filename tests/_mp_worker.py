@@ -50,6 +50,57 @@ def _train_mode(out_path: str, ctx, mesh) -> None:
         }, fh)
 
 
+def _esrgan_gan_mode(out_path: str, ctx, mesh) -> None:
+    """ESRGAN GAN step with the FUSED Pallas RDB kernel (interpret
+    mode) under a PROCESS-SPANNING mesh: the one component with
+    hand-written SPMD (shard_map-wrapped pallas_call, rdb.py) executes
+    across a real 2-process device mesh — the DDP-wrapped ESRGAN
+    trainer analogue (reference esrgan/trainer.py:142-157)."""
+    import jax
+    import numpy as np
+    from argparse import Namespace
+
+    from torchsr_tpu.data.synthetic import (
+        SyntheticEvalLoader,
+        SyntheticTrainLoader,
+    )
+    from torchsr_tpu.train.trainer import ESRGANTrainer
+
+    args = Namespace(
+        batch_size=4,  # per process -> global batch 8 over 8 devices
+        disable_amp=True, epochs=1, pretrain_epochs=1,
+        gan_checkpoint=None, psnr_checkpoint=None, seed=0,
+        skip_image_save=True, model="esrgan", num_residual=1,
+        vgg_convs=2, fused_rdb=True, pallas_interpret=True,
+    )
+    trainer = ESRGANTrainer(
+        args, SyntheticTrainLoader(4, 32, n_batches=1),
+        SyntheticEvalLoader(4, 32, n_batches=1), 8, 8, mesh, ctx,
+    )
+    rng = np.random.default_rng(321)
+    global_crops = rng.integers(0, 256, (8, 32, 32, 3), dtype=np.uint8)
+    global_flips = rng.random((8, 2)) < 0.5
+    lo = jax.process_index() * 4
+    crops_dev, flips_dev = trainer._put(
+        global_crops[lo:lo + 4], global_flips[lo:lo + 4]
+    )
+    state, metrics = trainer.gan_step(
+        trainer.state, crops_dev, flips_dev, 1e-4, 1e-4,
+        trainer.vgg_params,
+    )
+    leaves = jax.tree.leaves(jax.device_get(state.gen_params))
+    with open(out_path, "w") as fh:
+        json.dump({
+            "rank": ctx.rank,
+            "process_index": int(jax.process_index()),
+            "disc_loss": float(metrics["disc_loss"]),
+            "gen_loss": float(metrics["gen_loss"]),
+            "fingerprint": float(
+                sum(np.abs(l).sum() for l in leaves)
+            ),
+        }, fh)
+
+
 def main() -> None:
     # Debugging aid: MP_WORKER_DUMP_AFTER=<secs> dumps all-thread
     # tracebacks to stderr if the worker is still alive then (hangs in
@@ -89,6 +140,9 @@ def main() -> None:
 
     if mode == "train":
         _train_mode(out_path, ctx, make_mesh())
+        return
+    if mode == "esrgan_gan":
+        _esrgan_gan_mode(out_path, ctx, make_mesh())
         return
 
     from argparse import Namespace

@@ -1,5 +1,6 @@
 """Loss formulas golden-tested against torch; PSNR/SSIM sanity."""
 
+import jax.numpy as jnp
 import numpy as np
 import torch
 import torch.nn.functional as F
@@ -94,3 +95,46 @@ def test_ssim_bounds_and_identity():
     val = float(ssim(a, b))
     assert -1.0 <= val <= 1.0
     assert val < 0.5  # independent noise should score low
+
+
+def test_ssim_blur_matmuls_full_precision():
+    """The SSIM moment matmuls must request HIGHEST precision: TPU's
+    default multiplies f32 operands as bf16, and var = blur(x^2) - mu^2
+    then cancels catastrophically (measured on v5e: negative variances,
+    SSIM readings of -0.4..3.6 on smooth eval images).  Pinned via the
+    jaxpr so a refactor can't silently drop the precision request."""
+    import jax
+
+    from torchsr_tpu.train.metrics import ssim_per_sample
+
+    jaxpr = jax.make_jaxpr(ssim_per_sample)(
+        jnp.zeros((1, 32, 32, 3)), jnp.zeros((1, 32, 32, 3))
+    )
+    dots = [
+        e.params.get("precision")
+        for e in jaxpr.jaxpr.eqns
+        if e.primitive.name == "dot_general"
+    ]
+    assert dots, "SSIM blur should lower to dot_general"
+    for prec in dots:
+        assert prec == (
+            jax.lax.Precision.HIGHEST, jax.lax.Precision.HIGHEST
+        ), prec
+
+
+def test_ssim_smooth_low_variance_images_in_range():
+    """Smooth, nearly-flat image pairs (the catastrophic-cancellation
+    regime) stay within [-eps, 1+eps]."""
+    from torchsr_tpu.train.metrics import ssim_per_sample
+
+    yy, xx = np.mgrid[0:96, 0:96].astype(np.float32) / 96
+    hr = np.stack([0.3 + 0.4 * xx + 0.2 * yy] * 3, -1)[None]
+    rng = np.random.default_rng(0)
+    for noise in (0.0, 1e-4, 1e-3, 1e-2):
+        sr = hr + rng.normal(0, noise, hr.shape).astype(np.float32)
+        val = np.asarray(
+            ssim_per_sample(jnp.asarray(sr), jnp.asarray(hr))
+        )
+        assert np.all(val <= 1.0 + 1e-5) and np.all(val >= -1e-5), (
+            noise, val,
+        )

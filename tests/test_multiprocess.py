@@ -177,3 +177,51 @@ def test_two_process_full_train_with_async_saves(tmp_path):
 
     for leaf in jax.tree.leaves(ckpt["state"]["params"]):
         assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+@pytest.mark.slow
+def test_two_process_esrgan_fused_rdb_gan_step(tmp_path):
+    """The shard_map-wrapped Pallas RDB kernel (interpret mode) under a
+    real 2-process mesh: the ESRGAN GAN step runs, replicated outputs
+    agree across processes, and the result matches the same global
+    batch on a single-process 8-device mesh."""
+    results = _launch_workers(tmp_path, "esrgan_gan")
+    assert {r["process_index"] for r in results} == {0, 1}
+    assert results[0]["disc_loss"] == results[1]["disc_loss"]
+    assert results[0]["gen_loss"] == results[1]["gen_loss"]
+    assert results[0]["fingerprint"] == results[1]["fingerprint"]
+
+    from torchsr_tpu.data.synthetic import (
+        SyntheticEvalLoader,
+        SyntheticTrainLoader,
+    )
+    from torchsr_tpu.parallel.mesh import DistributedContext, make_mesh
+    from torchsr_tpu.train.trainer import ESRGANTrainer
+
+    args = Namespace(
+        batch_size=8, disable_amp=True, epochs=1, pretrain_epochs=1,
+        gan_checkpoint=None, psnr_checkpoint=None, seed=0,
+        skip_image_save=True, model="esrgan", num_residual=1,
+        vgg_convs=2, fused_rdb=True, pallas_interpret=True,
+    )
+    trainer = ESRGANTrainer(
+        args, SyntheticTrainLoader(8, 32, n_batches=1),
+        SyntheticEvalLoader(8, 32, n_batches=1), 8, 8, make_mesh(),
+        DistributedContext(1, -1, -1, 1, False),
+    )
+    rng = np.random.default_rng(321)
+    global_crops = rng.integers(0, 256, (8, 32, 32, 3), dtype=np.uint8)
+    global_flips = rng.random((8, 2)) < 0.5
+    crops_dev, flips_dev = trainer._put(global_crops, global_flips)
+    _state, metrics = trainer.gan_step(
+        trainer.state, crops_dev, flips_dev, 1e-4, 1e-4,
+        trainer.vgg_params,
+    )
+    np.testing.assert_allclose(
+        float(metrics["disc_loss"]), results[0]["disc_loss"], rtol=1e-5,
+        err_msg="multi-process ESRGAN disc loss != single-process",
+    )
+    np.testing.assert_allclose(
+        float(metrics["gen_loss"]), results[0]["gen_loss"], rtol=1e-5,
+        err_msg="multi-process ESRGAN gen loss != single-process",
+    )

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -116,11 +117,19 @@ def ssim_per_sample(
     gh = jnp.asarray(_blur_matrix(h, window_size, sigma))
     gw = jnp.asarray(_blur_matrix(w, window_size, sigma))
 
+    # HIGHEST precision is load-bearing on TPU: the default matmul
+    # precision multiplies f32 operands as bf16, and the moment
+    # formulas below (var = blur(x^2) - mu^2) catastrophically cancel
+    # under a 2^-9 relative error — negative variances, SSIM readings
+    # of -0.4..3.6 on a real eval (round 4, v5e).  SSIM is a
+    # negligible share of eval compute; full f32 passes are free.
     def blur(x: jnp.ndarray) -> jnp.ndarray:
         x = jnp.einsum("oh,bhwc->bowc", gh, x,
-                       preferred_element_type=jnp.float32)
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
         return jnp.einsum("ow,bhwc->bhoc", gw, x,
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
 
     c1 = (k1 * data_range) ** 2
     c2 = (k2 * data_range) ** 2

@@ -259,10 +259,18 @@ def save_checkpoint(
     blob = serialization.msgpack_serialize(
         serialization.to_state_dict(payload)
     )
-    tmp = path + ".tmp"
-    with open(tmp, "wb") as fh:
-        fh.write(blob)
-    os.replace(tmp, path)
+    # Unique tmp name: two writers targeting the same path (a second
+    # trainer sharing the checkpoint dir) must each atomically replace,
+    # never race on one shared ".tmp" (os.replace of a tmp another
+    # process already consumed raises FileNotFoundError).
+    tmp = f"{path}.{os.getpid()}.{threading.get_ident()}.tmp"
+    try:
+        with open(tmp, "wb") as fh:
+            fh.write(blob)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
 
 
 def load_checkpoint(path: str, model: str | None = None) -> dict | None:
