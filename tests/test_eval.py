@@ -81,6 +81,14 @@ def test_eval_cli_end_to_end(tmp_path, monkeypatch):
     assert -1.0 <= report["mean_bicubic_ssim"] <= 1.0
     # structured images: the bicubic baseline recovers real signal
     assert report["mean_bicubic_psnr"] > 15.0, report
+    # SR-vs-bicubic margin fields are internally consistent
+    assert report["psnr_margin_db"] == pytest.approx(
+        report["mean_psnr"] - report["mean_bicubic_psnr"], abs=1e-3
+    )
+    assert report["ssim_margin"] == pytest.approx(
+        report["mean_ssim"] - report["mean_bicubic_ssim"], abs=1e-4
+    )
+    assert 0 <= report["images_beating_bicubic_psnr"] <= report["images"]
     # --save-sr wrote the SR images (4x the synthesized LR = HR size)
     sr = np.asarray(Image.open("upres-a.png"))
     assert sr.shape == (40, 48, 3)

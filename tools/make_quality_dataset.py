@@ -3,15 +3,21 @@
 
 The environment ships exactly one real photograph
 (``media/waterfalls-low-res.png``, the reference's bundled progress
-sample). This tool turns it into a reproducible train/eval corpus:
+sample). This tool turns it into a reproducible train/eval corpus whose
+content a naive bicubic 4x re-upscale CANNOT trivially reconstruct —
+every image carries genuine high-frequency detail:
 
-* **photo images** — random square crops of the waterfall with the
-  dihedral-group transforms (flips/rotations), channel permutations,
-  and gamma/brightness jitter. Real photographic statistics (water
-  texture, foliage, rock edges).
-* **procedural images** — multi-octave value noise, oriented
-  sinusoidal textures, gradient fields with discs and bars: learnable
-  structure spanning frequencies the small photo underrepresents.
+* **photo images** — 4x4 mosaics of square crops from the
+  2x-LANCZOS-decimated waterfall. The shipped photo is itself blurry
+  (a naive bicubic 4x re-upscale of its native pixels scores 42 dB —
+  no detail to learn); decimating by 2 concentrates its real detail
+  (the same probe drops to 28 dB). Crops are never upsampled, and get
+  dihedral transforms, channel permutations, and gamma/brightness
+  jitter.
+* **procedural images** — multi-octave value noise overlaid with
+  hard-edged discs/bars, thin lines, pixel-scale checker patches, and
+  film-grain noise: sharp edges and fine texture spanning frequencies
+  up to Nyquist.
 
 Train and eval sets use disjoint seeds AND disjoint photo crop regions
 (eval crops come from the right third of the photo, train from the
@@ -37,7 +43,7 @@ SIZE = 176  # fits ESRGAN's 128 crop and SRGAN's 96 with margin
 
 
 def _jitter(rng: np.random.Generator, img: np.ndarray) -> np.ndarray:
-    """Photometric jitter in float [0,1]."""
+    """Photometric jitter in float [0,1]; no resampling."""
     img = img.astype(np.float32) / 255.0
     gamma = 0.7 + 0.6 * rng.random()
     gain = 0.8 + 0.4 * rng.random()
@@ -50,26 +56,35 @@ def _jitter(rng: np.random.Generator, img: np.ndarray) -> np.ndarray:
 def _photo_crop(
     rng: np.random.Generator, photo: np.ndarray, x_range: tuple[int, int]
 ) -> np.ndarray:
+    """A SIZE x SIZE mosaic of 4x4 tile crops of the decimated photo
+    (``photo`` is already the 2x-LANCZOS-decimated image).  The mosaic
+    keeps the canvas at production crop sizes without ever upsampling
+    photo pixels; its seams are ordinary step edges.  ``x_range``
+    bounds the tile x-positions so train/eval draw from disjoint photo
+    regions."""
     h, w = photo.shape[:2]
-    side = int(rng.integers(120, min(h, SIZE) + 1))
-    y = int(rng.integers(0, h - side + 1))
-    x0, x1 = x_range
-    x = int(rng.integers(x0, max(x0 + 1, min(x1, w) - side + 1)))
-    crop = photo[y : y + side, x : x + side]
-    img = np.asarray(
-        Image.fromarray(crop).resize((SIZE, SIZE), Image.BICUBIC)
-    )
-    k = int(rng.integers(4))
-    img = np.rot90(img, k)
-    if rng.random() < 0.5:
-        img = img[:, ::-1]
-    if rng.random() < 0.5:
-        img = img[::-1]
-    return _jitter(rng, np.ascontiguousarray(img))
+    tile = SIZE // 4
+    x0, x1 = x_range  # inclusive range of allowed tile START columns
+    hi = max(x0 + 1, min(x1, w - tile) + 1)
+    rows = []
+    for _ in range(4):
+        row = []
+        for _ in range(4):
+            y = int(rng.integers(0, h - tile + 1))
+            x = int(rng.integers(x0, hi))
+            t = photo[y : y + tile, x : x + tile]
+            t = np.rot90(t, int(rng.integers(4)))
+            if rng.random() < 0.5:
+                t = t[:, ::-1]
+            if rng.random() < 0.5:
+                t = t[::-1]
+            row.append(np.ascontiguousarray(t))
+        rows.append(np.concatenate(row, axis=1))
+    return _jitter(rng, np.concatenate(rows, axis=0))
 
 
 def _value_noise(rng: np.random.Generator) -> np.ndarray:
-    """Multi-octave smooth noise -> photographic-ish texture."""
+    """Multi-octave smooth noise (the low-frequency bed)."""
     acc = np.zeros((SIZE, SIZE, 3), np.float32)
     amp, total = 1.0, 0.0
     for cells in (4, 8, 16, 32):
@@ -87,41 +102,66 @@ def _value_noise(rng: np.random.Generator) -> np.ndarray:
 
 
 def _procedural(rng: np.random.Generator) -> np.ndarray:
-    yy, xx = np.mgrid[0:SIZE, 0:SIZE].astype(np.float32) / SIZE
-    kind = rng.integers(3)
-    if kind == 0:
-        img = _value_noise(rng)
-    elif kind == 1:
-        # oriented sinusoid texture over a gradient
-        fx, fy = rng.integers(2, 14, size=2)
-        phase = rng.random() * 6.283
-        wave = 0.5 + 0.5 * np.sin(
-            6.283 * (fx * xx + fy * yy) + phase
-        )
-        base = np.stack(
-            [wave * c for c in 0.3 + 0.7 * rng.random(3)], -1
-        )
-        img = 0.6 * base + 0.4 * _value_noise(rng)
-    else:
-        gx, gy = rng.normal(size=2)
-        base = gx * xx + gy * yy
-        base = (base - base.min()) / (np.ptp(base) + 1e-9)
-        img = np.stack([base * c for c in rng.random(3)], -1)
-        for _ in range(int(rng.integers(3, 7))):
-            cy, cx = rng.random(2)
-            r = 0.04 + 0.12 * rng.random()
+    """Low-frequency bed + hard-edged and pixel-scale detail.
+
+    The detail layers are what keep the bicubic 4x re-upscale honest:
+    step edges, thin lines, and fine checker/grain cannot be recovered
+    from a 1/4-scale bicubic downsample."""
+    yy, xx = np.mgrid[0:SIZE, 0:SIZE].astype(np.float32)
+    img = _value_noise(rng)
+
+    # hard-edged discs and rotated bars (step edges)
+    for _ in range(int(rng.integers(4, 9))):
+        color = rng.random(3).astype(np.float32)
+        if rng.random() < 0.5:
+            cy, cx = rng.random(2) * SIZE
+            r = 6 + rng.random() * 30
             mask = (yy - cy) ** 2 + (xx - cx) ** 2 < r * r
-            img[mask] = rng.random(3)
-        img = 0.8 * img + 0.2 * _value_noise(rng)
+        else:
+            theta = rng.random() * np.pi
+            c, s = np.cos(theta), np.sin(theta)
+            d = c * (xx - SIZE / 2) + s * (yy - SIZE / 2)
+            off = (rng.random() - 0.5) * SIZE
+            thick = 1.5 + rng.random() * 8
+            mask = np.abs(d - off) < thick
+        a = 0.65 + 0.35 * rng.random()
+        img[mask] = (1 - a) * img[mask] + a * color
+
+    # pixel-scale checker patch (Nyquist-frequency texture)
+    if rng.random() < 0.7:
+        ph, pw = (rng.integers(24, 64), rng.integers(24, 64))
+        py = int(rng.integers(0, SIZE - ph))
+        px = int(rng.integers(0, SIZE - pw))
+        cell = int(rng.integers(1, 4))
+        checker = (
+            ((yy[py:py + ph, px:px + pw] // cell)
+             + (xx[py:py + ph, px:px + pw] // cell)) % 2
+        ).astype(np.float32)
+        tint = 0.25 + 0.75 * rng.random(3).astype(np.float32)
+        img[py:py + ph, px:px + pw] = (
+            0.45 * img[py:py + ph, px:px + pw]
+            + 0.55 * checker[..., None] * tint
+        )
+
+    # film grain over the whole frame
+    grain = rng.normal(0.0, 0.02 + 0.04 * rng.random(), img.shape)
+    img = img + grain.astype(np.float32)
     return (np.clip(img, 0, 1) * 255.0 + 0.5).astype(np.uint8)
 
 
 def build(out: str, n_train: int, n_eval: int, seed: int) -> None:
-    photo = np.asarray(Image.open(PHOTO).convert("RGB"))
+    src = Image.open(PHOTO).convert("RGB")
+    photo = np.asarray(
+        src.resize((src.width // 2, src.height // 2), Image.LANCZOS)
+    )
     w = photo.shape[1]
+    tile = SIZE // 4
+    # Disjoint photo regions: train tiles end before column split_at,
+    # eval tiles start at or after it.
+    split_at = (3 * w) // 5
     for split, n, sd, x_range in (
-        ("train", n_train, seed, (0, (2 * w) // 3)),
-        ("eval", n_eval, seed + 1000, ((2 * w) // 3 - SIZE, w)),
+        ("train", n_train, seed, (0, split_at - tile)),
+        ("eval", n_eval, seed + 1000, (split_at, w - tile)),
     ):
         rng = np.random.default_rng(sd)
         d = os.path.join(out, split)

@@ -195,12 +195,27 @@ def run_eval(args: Namespace, generator_cls) -> dict:
         ),
         "per_image": per_image,
     }
+    # SR-vs-bicubic margins (positive = the model beats the naive
+    # baseline) — the quality-evidence headline numbers.
+    report["psnr_margin_db"] = round(
+        report["mean_psnr"] - report["mean_bicubic_psnr"], 4
+    )
+    report["ssim_margin"] = round(
+        report["mean_ssim"] - report["mean_bicubic_ssim"], 5
+    )
+    report["images_beating_bicubic_psnr"] = sum(
+        1 for r in per_image if r["psnr"] > r["bicubic_psnr"]
+    )
     print(
         f"\n{n} images: mean PSNR {report['mean_psnr']:.2f} dB  "
         f"mean SSIM {report['mean_ssim']:.4f}  "
         f"(batch PSNR {report['batch_psnr']:.2f} dB; bicubic baseline "
         f"{report['mean_bicubic_psnr']:.2f} dB / "
-        f"{report['mean_bicubic_ssim']:.4f})"
+        f"{report['mean_bicubic_ssim']:.4f}; margin "
+        f"{report['psnr_margin_db']:+.2f} dB / "
+        f"{report['ssim_margin']:+.4f}; "
+        f"{report['images_beating_bicubic_psnr']}/{n} images beat "
+        f"bicubic PSNR)"
     )
     report_path = getattr(args, "report", None)
     if report_path:
