@@ -126,3 +126,37 @@ def test_match_tree_is_key_aware():
     with pytest.raises(ValueError):
         _match_tree(template, {"alpha": np.zeros((3, 3)),
                                "beta": loaded["beta"]})
+
+
+def test_step_profiler_tpu_fallback_cadence_summary(tmp_path, monkeypatch):
+    """On a TPU backend without TORCHSR_FORCE_PROFILE, the profiler
+    degrades to a step-cadence summary file instead of doing nothing
+    (jax.profiler.start_trace hangs on some TPU runtimes)."""
+    import json
+    import time
+
+    import jax
+
+    monkeypatch.delenv("TORCHSR_FORCE_PROFILE", raising=False)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+    class Log:
+        lines: list = []
+
+        def log(self, s):
+            self.lines.append(s)
+
+    logger = Log()
+    profiler = StepProfiler(4, str(tmp_path / "traces"), logger=logger)
+    for _ in range(10):
+        time.sleep(0.002)
+        profiler.step()
+    profiler.stop()
+    path = tmp_path / "traces" / "step_times.json"
+    assert path.exists(), logger.lines
+    summary = json.loads(path.read_text())
+    assert summary["steps_timed"] == 4
+    assert summary["mean_ms"] >= 1.0
+    assert summary["p90_ms"] >= summary["p50_ms"]
+    assert any("step-cadence" in l.lower() for l in logger.lines)
+    assert any("Step-cadence summary" in l for l in logger.lines)

@@ -229,8 +229,10 @@ def parse_args(argv: list[str] | None = None) -> Namespace:
         "--profile-steps", type=int, default=0,
         help="Capture a jax.profiler device trace of N hot-loop train "
              "steps (TensorBoard format). 0 disables profiling. On TPU "
-             "backends the trace is skipped unless TORCHSR_FORCE_PROFILE=1 "
-             "is set: some TPU runtimes hang in start_trace.",
+             "backends the device trace requires TORCHSR_FORCE_PROFILE=1 "
+             "(some TPU runtimes hang in start_trace); without it the "
+             "same window records a step-cadence summary to "
+             "<profile-dir>/step_times.json instead.",
     )
     train.add_argument(
         "--profile-dir", type=str, default="traces",

@@ -1,4 +1,4 @@
-"""Optional step profiling via jax.profiler.
+"""Optional step profiling via jax.profiler, with a TPU-safe fallback.
 
 The reference's only performance instrumentation is wall-clock epoch
 throughput (srgan/trainer.py:374, :401-403); SURVEY.md section 5 calls
@@ -6,13 +6,27 @@ for keeping that metric and adding an optional ``jax.profiler.trace``
 window.  ``StepProfiler`` captures a TensorBoard-compatible device trace
 of N hot-loop steps (skipping the compile step), written to
 ``--profile-dir``.
+
+On TPU runtimes where ``jax.profiler.start_trace`` is unsafe (this
+repo's dev platform hangs inside it; opt back in with
+``TORCHSR_FORCE_PROFILE=1``), the same window degrades to a
+**step-cadence summary** instead of doing nothing: per-step wall-clock
+deltas of the hot loop (mean/p50/p90/max, steps/sec) written to
+``<profile-dir>/step_times.json``.  Caveat recorded in the file: these
+are host-side call cadences — they equal device step time only when the
+loop consumes per-step results (the production loops do read metrics
+per call); for device-side section anatomy use tools/profile_gan_step.py.
 """
 
 from __future__ import annotations
 
+import json
+import os
+import time
+
 
 class StepProfiler:
-    """Trace a window of train steps, once per run."""
+    """Trace (or time) a window of train steps, once per run."""
 
     # Skip the first steps: they include compilation and warm-up.
     START_AT_STEP = 2
@@ -23,39 +37,48 @@ class StepProfiler:
         self.logger = logger
         self._seen = 0
         self._tracing = False
+        self._timing = False
+        self._stamps: list[float] = []
         self._done = self.num_steps <= 0
+
+    def _start(self) -> None:
+        import jax
+
+        if (
+            jax.default_backend() not in ("cpu", "gpu")
+            and os.environ.get("TORCHSR_FORCE_PROFILE") != "1"
+        ):
+            # Some TPU runtimes (including this repo's dev platform)
+            # hang inside start_trace; fall back to the step-cadence
+            # summary rather than wedging a real training run (or
+            # silently doing nothing).
+            if self.logger is not None:
+                self.logger.log(
+                    "TPU backend: falling back to step-cadence timing "
+                    "(jax.profiler.start_trace hangs on some TPU "
+                    "runtimes; set TORCHSR_FORCE_PROFILE=1 to force a "
+                    "device trace)"
+                )
+            self._timing = True
+            self._stamps = [time.perf_counter()]
+            self._trace_started_at = self._seen
+            return
+        jax.profiler.start_trace(self.out_dir)
+        self._tracing = True
+        self._trace_started_at = self._seen
 
     def step(self) -> None:
         """Call once per train step (after dispatching the step)."""
         if self._done:
             return
         self._seen += 1
-        if not self._tracing and self._seen > self.START_AT_STEP:
-            import os
-
-            import jax
-
-            if (
-                jax.default_backend() not in ("cpu", "gpu")
-                and os.environ.get("TORCHSR_FORCE_PROFILE") != "1"
-            ):
-                # Some TPU runtimes (including this repo's dev platform)
-                # hang inside start_trace; requiring an explicit opt-in
-                # keeps --profile-steps from wedging a real training run.
-                if self.logger is not None:
-                    self.logger.log(
-                        "Skipping profiler trace on TPU backend (set "
-                        "TORCHSR_FORCE_PROFILE=1 to force; some TPU "
-                        "runtimes hang in jax.profiler.start_trace)"
-                    )
-                self._done = True
-                return
-            jax.profiler.start_trace(self.out_dir)
-            self._tracing = True
-            self._trace_started_at = self._seen
-        elif self._tracing and (
-            self._seen - self._trace_started_at + 1 >= self.num_steps
-        ):
+        if not (self._tracing or self._timing):
+            if self._seen > self.START_AT_STEP:
+                self._start()
+            return
+        if self._timing:
+            self._stamps.append(time.perf_counter())
+        if self._seen - self._trace_started_at >= self.num_steps:
             self.stop()
 
     def stop(self) -> None:
@@ -72,4 +95,35 @@ class StepProfiler:
                     f"Wrote {self.num_steps}-step profiler trace to "
                     f"{self.out_dir}/"
                 )
+        elif self._timing and len(self._stamps) >= 2:
+            deltas = sorted(
+                b - a for a, b in zip(self._stamps, self._stamps[1:])
+            )
+            n = len(deltas)
+            mean = sum(deltas) / n
+            summary = {
+                "steps_timed": n,
+                "mean_ms": round(mean * 1e3, 3),
+                "p50_ms": round(deltas[n // 2] * 1e3, 3),
+                "p90_ms": round(deltas[(9 * n) // 10] * 1e3, 3),
+                "max_ms": round(deltas[-1] * 1e3, 3),
+                "steps_per_sec": round(1.0 / max(mean, 1e-9), 3),
+                "note": (
+                    "host-side hot-loop call cadence (TPU trace "
+                    "fallback); equals device step time only when the "
+                    "loop consumes per-step results — for device-side "
+                    "section anatomy use tools/profile_gan_step.py"
+                ),
+            }
+            os.makedirs(self.out_dir, exist_ok=True)
+            path = os.path.join(self.out_dir, "step_times.json")
+            with open(path, "w") as fh:
+                json.dump(summary, fh, indent=2)
+            if self.logger is not None:
+                self.logger.log(
+                    f"Step-cadence summary ({n} steps): "
+                    f"mean {summary['mean_ms']} ms, "
+                    f"p90 {summary['p90_ms']} ms -> {path}"
+                )
+            self._timing = False
         self._done = True
