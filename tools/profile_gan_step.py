@@ -16,6 +16,7 @@ Slope components (per-rep device cost):
   disc_fwd       one discriminator forward (train mode, BN stats)
   dloss_fwd_bwd  disc update loss: 2 disc forwards + backward
   vgg_fwd        one VGG19 relu5_4 forward
+  vgg_fwd_bwd    VGG forward + backward wrt input (VGG(sr)'s head cost)
   head_fwd_bwd   gen-update head: VGG(sr)+VGG(hr)+D(hr)+D(sr), grad wrt sr
   adam3 / synth  optimizer trio / on-device pair synthesis
 
@@ -172,6 +173,20 @@ def main() -> None:
         out = vgg.apply({"params": vgg_params}, couple(hr_img, s))
         return jnp.mean(out.astype(jnp.float32))
 
+    def rep_vgg_fwd_bwd(s):
+        """VGG forward + backward wrt its INPUT — the marginal cost
+        VGG(sr) adds inside the head (params get no cotangent there;
+        the reference keeps VGG frozen, loss.py:28-34)."""
+        feat_hr = jax.lax.stop_gradient(
+            vgg.apply({"params": vgg_params}, hr_img)
+        )
+
+        def loss(x):
+            return L.l1_loss(vgg.apply({"params": vgg_params}, x), feat_hr)
+
+        val, g = jax.value_and_grad(loss)(couple(hr_img, s))
+        return val + jnp.mean(g.astype(jnp.float32))
+
     def rep_head_fwd_bwd(s):
         hr_sg = jax.lax.stop_gradient(hr_img)
 
@@ -261,6 +276,7 @@ def main() -> None:
         ("disc_fwd", rep_disc_fwd, None),
         ("dloss_fwd_bwd", rep_dloss_fwd_bwd, None),
         ("vgg_fwd", rep_vgg_fwd, None),
+        ("vgg_fwd_bwd", rep_vgg_fwd_bwd, None),
         # gen chains compile slowly (345 unrolled convs/rep): n2=2
         ("head_fwd_bwd", rep_head_fwd_bwd, None),
         ("gen_fwd", rep_gen_fwd, 2),
