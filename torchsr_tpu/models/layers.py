@@ -222,10 +222,18 @@ class BatchNorm(nn.Module):
     Statistics are ALWAYS computed in float32, like torch AMP (autocast
     runs BatchNorm in fp32): in bf16, variance computed in low precision
     can go negative once activations drift during GAN training,
-    producing NaNs through rsqrt.  The variance uses the two-pass
-    ``mean((x - mean)^2)`` form to avoid the mean-of-squares
-    cancellation.  The f32 result is cast back to the surrounding
-    compute dtype.
+    producing NaNs through rsqrt.  The variance uses running-mean-
+    shifted ONE-PASS moments (round 4): ``d = x - stop_grad(ra_mean);
+    var = E[d^2] - E[d]^2``.  Identical math to the two-pass
+    ``mean((x - mean)^2)`` in exact arithmetic (same gradients), and
+    numerically safe unlike the naive ``E[x^2] - E[x]^2`` because the
+    shift tracks the batch mean, keeping ``E[d]`` near zero (probe:
+    max var deviation 6e-8 f32 at tower shapes).  The win: E[d] and
+    E[d^2] are sibling reductions over one activation sweep that XLA
+    fuses, where the two-pass form forces a second data-dependent
+    sweep — SRGAN tower fwd+bwd 84.8 -> 103.7 TF/s (order-swapped
+    confirm 92.7 -> 104.2; tools/probe_bn_stats.py, real v5e).  The
+    f32 result is cast back to the surrounding compute dtype.
     """
 
     use_running_average: bool = False
@@ -263,8 +271,13 @@ class _TorchBN(nn.Module):
             mean, var = ra_mean.value, ra_var.value
         else:
             axes = tuple(range(x.ndim - 1))
-            mean = jnp.mean(x, axes)
-            var = jnp.mean(jnp.square(x - mean), axes)
+            # Running-mean-shifted one-pass moments: one fused sweep
+            # instead of two (see BatchNorm docstring for numerics).
+            shift = jax.lax.stop_gradient(ra_mean.value)
+            d = x - shift
+            s1 = jnp.mean(d, axes)
+            mean = shift + s1
+            var = jnp.maximum(jnp.mean(d * d, axes) - jnp.square(s1), 0.0)
             if not self.is_initializing():
                 n = x.size // c
                 bessel = n / max(n - 1, 1)
