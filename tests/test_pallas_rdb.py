@@ -369,3 +369,44 @@ def test_ext_kernel_matches_slot_kernel_and_grads():
             np.asarray(gb_e[i]), np.asarray(gb_s[i]),
             rtol=1e-5, atol=1e-5,
         )
+
+
+def test_fwd_only_cap_gating(monkeypatch):
+    """train=False (inference) unlocks the forward-only tile cap;
+    train=True keeps the fwd+bwd cap (round 4: 128px inference tiles)."""
+    from torchsr_tpu.models.esrgan import _use_fused_rdb
+    from torchsr_tpu.ops.pallas import rdb as rdb_mod
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    big = jnp.zeros((1, 128, 128, 64))   # 16384 rows
+    small = jnp.zeros((1, 64, 64, 64))   # 4096 rows
+    assert _use_fused_rdb(None, small, fwd_only=False)
+    assert _use_fused_rdb(None, small, fwd_only=True)
+    assert not _use_fused_rdb(None, big, fwd_only=False)
+    assert _use_fused_rdb(None, big, fwd_only=True)
+    huge = jnp.zeros((1, 176, 176, 64))  # > fwd cap as well
+    assert not _use_fused_rdb(None, huge, fwd_only=True)
+    # explicit flag still overrides the auto gate
+    assert _use_fused_rdb(True, huge, fwd_only=False)
+    # VMEM tier selection: fwd-only 16384-row blocks get the top tier
+    p = rdb_mod._compiler_params(16384, 2, 2 * rdb_mod._MAX_BLOCK_ROWS)
+    assert p.vmem_limit_bytes == rdb_mod._VMEM_TIERS[-1][1]
+    p = rdb_mod._compiler_params(4096, 2, 2 * rdb_mod._MAX_BLOCK_ROWS)
+    assert p.vmem_limit_bytes == rdb_mod._VMEM_TIERS[0][1]
+    assert rdb_mod._compiler_params(
+        2048, 2, 2 * rdb_mod._MAX_BLOCK_ROWS) is None
+
+
+def test_fused_rdb_big_single_image_block():
+    """A single image above the fwd+bwd row cap (the round-4
+    forward-only path, e.g. a 128px inference tile) still matches the
+    flax reference exactly — one image per grid step, interpret mode
+    (on TPU the same block shape runs compiled under the raised VMEM
+    tier; measured in tools/bench_inference.py)."""
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(0, 0.5, (1, 72, 72, 64)), jnp.float32)
+    ref, ks, bs = _params_and_ref(x)
+    out = fused_rdb(x, ks, bs, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5
+    )

@@ -206,14 +206,15 @@ def run_export(args: Namespace, generator_cls) -> str:
                 f"{args.model} without it (the XLA lowering is already "
                 "its fastest form)."
             )
-        from torchsr_tpu.ops.pallas.rdb import _MAX_IMAGE_ROWS
+        from torchsr_tpu.ops.pallas.rdb import _MAX_IMAGE_ROWS_FWD
 
-        if tile * tile > _MAX_IMAGE_ROWS:
+        if tile * tile > _MAX_IMAGE_ROWS_FWD:
             raise ValueError(
                 f"--native-kernels supports tiles up to "
-                f"{int(_MAX_IMAGE_ROWS ** 0.5)}px (the fused kernel's "
-                f"VMEM block budget); got --tile {tile}. Export a "
-                f"smaller tile or drop --native-kernels."
+                f"{int(_MAX_IMAGE_ROWS_FWD ** 0.5)}px (the fused "
+                f"kernel's forward-only VMEM block budget); got "
+                f"--tile {tile}. Export a smaller tile or drop "
+                f"--native-kernels."
             )
         if jax.default_backend() != "tpu":
             raise RuntimeError(

@@ -65,17 +65,24 @@ class _RDBConvParams(nn.Module):
         )()
 
 
-def _use_fused_rdb(flag, x) -> bool:
+def _use_fused_rdb(flag, x, fwd_only: bool = False) -> bool:
     """Resolve the fused-kernel auto default: the Pallas RDB kernel
     needs the Mosaic TPU backend and a per-image spatial extent that
-    fits its VMEM block budget (ops/pallas/rdb.py)."""
+    fits its VMEM block budget (ops/pallas/rdb.py).  Forward-only
+    calls (generator ``train=False`` — inference/serving/eval) allow
+    the larger fwd cap: without the backward kernel's working set a
+    single-image block fits VMEM up to a 128px LR tile (round 4)."""
     if flag is not None:
         return flag
-    from torchsr_tpu.ops.pallas.rdb import _MAX_IMAGE_ROWS
+    from torchsr_tpu.ops.pallas.rdb import (
+        _MAX_IMAGE_ROWS,
+        _MAX_IMAGE_ROWS_FWD,
+    )
 
+    cap = _MAX_IMAGE_ROWS_FWD if fwd_only else _MAX_IMAGE_ROWS
     return (
         jax.default_backend() == "tpu"
-        and x.shape[1] * x.shape[2] <= _MAX_IMAGE_ROWS
+        and x.shape[1] * x.shape[2] <= cap
     )
 
 
@@ -101,13 +108,16 @@ class ResidualDenseBlock(nn.Module):
     # Mesh for multi-device runs: the fused kernel must run under
     # shard_map over the batch axis (ops/pallas/rdb.py docstring).
     mesh: Any = None
+    # True when this forward will never be differentiated (generator
+    # train=False): unlocks the larger forward-only tile cap.
+    fwd_only: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         if (
             self.channels == 64
             and self.growth_channels == 32
-            and _use_fused_rdb(self.fused, x)
+            and _use_fused_rdb(self.fused, x, self.fwd_only)
         ):
             from torchsr_tpu.ops.pallas.rdb import fused_rdb
 
@@ -157,6 +167,7 @@ class RRDB(nn.Module):
     fused: bool | None = None
     pallas_interpret: bool = False
     mesh: Any = None
+    fwd_only: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -166,7 +177,7 @@ class RRDB(nn.Module):
                 self.channels, self.growth_channels, self.scale_ratio,
                 dtype=self.dtype, fused=self.fused,
                 pallas_interpret=self.pallas_interpret,
-                mesh=self.mesh,
+                mesh=self.mesh, fwd_only=self.fwd_only,
                 name=f"rdb{i + 1}",
             )(out)
         return out * jnp.asarray(self.scale_ratio, out.dtype) + x
@@ -183,12 +194,14 @@ class _ScanRRDBBody(nn.Module):
     fused: bool | None = None
     pallas_interpret: bool = False
     mesh: Any = None
+    fwd_only: bool = False
 
     @nn.compact
     def __call__(self, carry, _):
         out = RRDB(64, 32, 0.2, dtype=self.dtype, fused=self.fused,
                    pallas_interpret=self.pallas_interpret,
-                   mesh=self.mesh, name="block")(carry)
+                   mesh=self.mesh, fwd_only=self.fwd_only,
+                   name="block")(carry)
         return out, None
 
 
@@ -231,7 +244,10 @@ class ESRGANGenerator(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
-        del train  # no batch statistics in the ESRGAN generator
+        # No batch statistics in the ESRGAN generator; train=False marks
+        # the forward as never-differentiated, unlocking the fused RDB
+        # kernel's larger forward-only tile cap (_use_fused_rdb).
+        fwd_only = not train
         dtype = self.dtype or jnp.float32
         x = x.astype(dtype)
 
@@ -247,14 +263,14 @@ class ESRGANGenerator(nn.Module):
                 metadata_params={nn.meta.PARTITION_NAME: None},
             )(dtype=self.dtype, fused=self.fused_rdb,
               pallas_interpret=self.pallas_interpret, mesh=self.mesh,
-              name="blocks_scan")
+              fwd_only=fwd_only, name="blocks_scan")
             out, _ = scan(out, None)
         else:
             for i in range(self.num_rrdb_blocks):
                 out = RRDB(64, 32, 0.2, dtype=self.dtype,
                            fused=self.fused_rdb,
                            pallas_interpret=self.pallas_interpret,
-                           mesh=self.mesh,
+                           mesh=self.mesh, fwd_only=fwd_only,
                            name=f"block{i}")(out)
 
         out = Conv(64, (3, 3), dtype=self.dtype, name="conv2")(out)

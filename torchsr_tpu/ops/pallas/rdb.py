@@ -66,6 +66,22 @@ _MAX_BLOCK_ROWS = 2048
 # rows the kernel runs with one image per step and a raised scoped-VMEM
 # limit (v5e has 128 MB physical VMEM).  4096 rows = a 64x64 LR tile.
 _MAX_IMAGE_ROWS = 4096
+# Forward-only (inference) row cap: without the backward kernel's
+# bigger working set, a single-image block fits VMEM up to a 128x128
+# LR tile (16384 rows ~ 66 MB: 18.9 MB dy scratch + ~19 MB live f32
+# GEMP outputs + 8.4 MB double-buffered in/out + weights) under the
+# top _VMEM_TIERS limit.  Eligibility uses this cap only on
+# non-differentiated forwards (models/esrgan.py threads the
+# generator's train flag down as ``fwd_only``); training keeps
+# _MAX_IMAGE_ROWS so the backward never sees blocks it cannot fit.
+_MAX_IMAGE_ROWS_FWD = 16384
+_VMEM_TIERS = (
+    (4096, 64 * 1024 * 1024),
+    # 16384-row blocks: the compiler schedules against the limit
+    # (reported scoped use was limit+3.8 MB at 100 MB, limit+1.8 at
+    # 110) — 120 MB converges inside v5e's 128 MB physical VMEM.
+    (_MAX_IMAGE_ROWS_FWD, 120 * 1024 * 1024),
+)
 _BIG_BLOCK_VMEM = 64 * 1024 * 1024
 
 
@@ -300,10 +316,15 @@ def _compiler_params(mblk: int, itemsize: int, limit_bytes_above: int):
     """Raise the scoped-VMEM limit for blocks larger than what the
     16 MB default fits.  The trigger is in BYTES of block rows so f32
     blocks raise at half the row count of bf16 ones (an f32 eval-path
-    block measured 17.5 MB at 2048 rows where bf16 fit)."""
+    block measured 17.5 MB at 2048 rows where bf16 fit).  Tiered: the
+    forward-only 128px-tile blocks (16384 rows) need ~66 MB, above the
+    64 MB that covers every fwd+bwd-eligible block."""
     if mblk * itemsize <= limit_bytes_above:
         return None
-    return pltpu.CompilerParams(vmem_limit_bytes=_BIG_BLOCK_VMEM)
+    for rows, limit in _VMEM_TIERS:
+        if mblk <= rows:
+            return pltpu.CompilerParams(vmem_limit_bytes=limit)
+    return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_TIERS[-1][1])
 
 
 def _block_rows(batch: int, hw: int, cap: int = _MAX_BLOCK_ROWS) -> int:
