@@ -108,18 +108,31 @@ def bench_esrgan_gan() -> None:
     trainer = ESRGANTrainer(
         args, tl, el, tl.dataset_len, el.dataset_len, mesh, ctx
     )
-    # The multi-step scan program is the production epoch-loop path:
-    # K steps per jitted call amortize this runtime's ~4.5 ms/call
-    # dispatch floor (see trainer._build_steps).
-    k = trainer.steps_per_call
-    stacks = _stacked_device_batches(trainer, tl, k)
+    # The production GAN-phase epoch-loop path: ESRGAN defaults to
+    # K=1 (the per-leaf single-step program; the length-8 scan body
+    # schedules ~4.6 ms/step worse than the same body straightline —
+    # trainer._build_steps, round 4), other models to the K-step scan.
+    k = trainer.gan_steps_per_call
+    if k > 1:
+        stacks = _stacked_device_batches(trainer, tl, k)
+    else:
+        stacks = [trainer._put(c, f) for c, f in tl.epoch(0)]
+
+    def one_call(state, crops, flips):
+        if k > 1:
+            state, m = trainer.gan_step_multi(
+                state, crops, flips, 1e-4, 1e-4, trainer.vgg_params
+            )
+            return state, m["gen_loss"][-1]
+        state, m = trainer.gan_step(
+            state, crops, flips, 1e-4, 1e-4, trainer.vgg_params
+        )
+        return state, m["gen_loss"]
 
     packed_state = trainer.state
     crops_k, flips_k = stacks[0]
-    packed_state, m = trainer.gan_step_multi(
-        packed_state, crops_k, flips_k, 1e-4, 1e-4, trainer.vgg_params
-    )
-    float(m["gen_loss"][-1])  # warmup completion readback
+    packed_state, gl = one_call(packed_state, crops_k, flips_k)
+    float(gl)  # warmup completion readback
 
     # Two measured phases; keep the second.  The FIRST timing loop in a
     # process reads several-fold slow on this runtime even after
@@ -129,11 +142,8 @@ def bench_esrgan_gan() -> None:
         start = time.perf_counter()
         for i in range(calls):
             crops_k, flips_k = stacks[i % len(stacks)]
-            packed_state, m = trainer.gan_step_multi(
-                packed_state, crops_k, flips_k, 1e-4, 1e-4,
-                trainer.vgg_params
-            )
-        float(m["gen_loss"][-1])  # chain completion readback
+            packed_state, gl = one_call(packed_state, crops_k, flips_k)
+        float(gl)  # chain completion readback
         elapsed = time.perf_counter() - start
     steps_run = calls * k
 

