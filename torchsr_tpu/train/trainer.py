@@ -119,8 +119,11 @@ class GANTrainer:
     # grad. Chosen per model from v5e measurements (see docs/benchmarks).
     gen_grad_strategy: str = "vjp"
     # Default GAN-phase steps-per-call (see _build_steps; ESRGAN
-    # overrides to 1 from v5e measurements).
+    # overrides from v5e measurements).
     GAN_STEPS_PER_CALL: int = 8
+    # Unroll the GAN multi-step program instead of lax.scan (see
+    # gan_multi; K-times compile cost, persistent-cached).
+    GAN_MULTI_UNROLL: bool = False
 
     def __init__(
         self,
@@ -495,6 +498,25 @@ class GANTrainer:
                 )
                 return st, (m["disc_loss"], m["gen_loss"])
 
+            if self.GAN_MULTI_UNROLL:
+                # Unrolled chain: XLA schedules a while-loop (scan)
+                # body measurably worse than the same body straightline
+                # at large step sizes (round 4, ESRGAN GAN: scan-8
+                # 77.57 ms/step, per-call 76.77, unrolled-2 76.21) —
+                # trading K-times the compile time (persistent-cached)
+                # for the best of both: no scan penalty, amortized
+                # dispatch.
+                dls, gls = [], []
+                for i in range(crops_k.shape[0]):
+                    state, (dl, gl) = body(
+                        state, (crops_k[i], flips_k[i])
+                    )
+                    dls.append(dl)
+                    gls.append(gl)
+                return state, {
+                    "disc_loss": jnp.stack(dls),
+                    "gen_loss": jnp.stack(gls),
+                }
             state, (dl, gl) = jax.lax.scan(body, state, (crops_k, flips_k))
             return state, {"disc_loss": dl, "gen_loss": gl}
 
@@ -1489,9 +1511,14 @@ class ESRGANTrainer(GANTrainer):
     """ESRGAN recipe: L1 pretrain; relativistic-average GAN."""
 
     model_name = "esrgan"
-    # K=1 measured faster than the length-8 scan for this step
-    # (76.77 vs 77.57 ms; _build_steps comment).
-    GAN_STEPS_PER_CALL = 1
+    # Unrolled K=2 measured fastest for this step (76.21 ms/step vs
+    # per-call K=1 76.77 and length-8 scan 77.57; _build_steps
+    # comment): the scan body schedules ~4.6 ms/step worse than
+    # straightline, and at 76 ms/step the dispatch tax K amortizes is
+    # mostly overlapped anyway — K=2 keeps the unrolled program's
+    # compile time (~2.5 min fresh, persistent-cached) bounded.
+    GAN_STEPS_PER_CALL = 2
+    GAN_MULTI_UNROLL = True
 
     def _build_models(self, dtype) -> None:
         blocks = getattr(self.args, "num_residual", None) or 23
