@@ -109,9 +109,11 @@ def bench_esrgan_gan() -> None:
         args, tl, el, tl.dataset_len, el.dataset_len, mesh, ctx
     )
     # The production GAN-phase epoch-loop path: ESRGAN defaults to
-    # K=1 (the per-leaf single-step program; the length-8 scan body
-    # schedules ~4.6 ms/step worse than the same body straightline —
-    # trainer._build_steps, round 4), other models to the K-step scan.
+    # an UNROLLED K=2 multi program (GAN_STEPS_PER_CALL=2 +
+    # GAN_MULTI_UNROLL — the length-8 scan body schedules ~4.6
+    # ms/step worse than the same body straightline; round 4), SRGAN
+    # to the K=8 scan.  The k==1 branch below only triggers with an
+    # explicit --steps-per-call 1.
     k = trainer.gan_steps_per_call
     if k > 1:
         stacks = _stacked_device_batches(trainer, tl, k)

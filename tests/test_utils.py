@@ -160,3 +160,33 @@ def test_step_profiler_tpu_fallback_cadence_summary(tmp_path, monkeypatch):
     assert summary["p90_ms"] >= summary["p50_ms"]
     assert any("step-cadence" in l.lower() for l in logger.lines)
     assert any("Step-cadence summary" in l for l in logger.lines)
+
+
+def test_step_profiler_cadence_divides_by_fused_k(tmp_path, monkeypatch):
+    """Multi-step jitted calls stamp ONCE per call with k attached;
+    per-step times are the call delta / k (round-5 advisor fix: K
+    back-to-back step() calls used to produce ~0 intra-burst deltas)."""
+    import time
+
+    import jax
+
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.delenv("TORCHSR_FORCE_PROFILE", raising=False)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+    profiler = StepProfiler(16, str(tmp_path / "traces"))
+    for _ in range(8):
+        time.sleep(0.004)  # one "jitted call" of 4 fused steps
+        profiler.step(4)
+    profiler.stop()
+    import json
+
+    summary = json.loads(
+        (tmp_path / "traces" / "step_times.json").read_text()
+    )
+    assert summary["steps_timed"] == 16
+    assert summary["calls_timed"] == 4
+    # 4 ms call / 4 fused steps ~= 1 ms/step; the pre-fix behavior
+    # reported p50 ~0 (intra-burst) and mean ~1/4 of the call time.
+    assert 0.8 <= summary["p50_ms"] <= 20.0
+    assert summary["p50_ms"] >= 0.8

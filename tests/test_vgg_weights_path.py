@@ -163,9 +163,11 @@ def test_discover_vgg_weights_search_order(monkeypatch, tmp_path, vgg_pth):
 
     monkeypatch.setenv("TORCHSR_VGG_WEIGHTS", vgg_pth)
     assert discover_vgg_weights() == vgg_pth
-    # env var set but missing: no silent fallback to stale caches
+    # env var set but missing: as loud as a broken --vgg-weights flag
+    # (round-5 advisor fix — no silent fallback to random features)
     monkeypatch.setenv("TORCHSR_VGG_WEIGHTS", "/nonexistent/w.pth")
-    assert discover_vgg_weights() is None
+    with pytest.raises(FileNotFoundError, match="TORCHSR_VGG_WEIGHTS"):
+        discover_vgg_weights()
 
 
 def test_auto_discovered_weights_load_into_trainer(monkeypatch, vgg_pth):

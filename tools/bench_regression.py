@@ -2,9 +2,11 @@
 """Benchmark regression gate: run bench.py, check every metric against
 recorded floors (tools/bench_expectations.json).
 
-Floors are set ~30% below measured steady state to absorb the tunnel's
-run-to-run variance (docs/benchmarks.md methodology); a breach means a
-real regression, not noise.  Run on TPU, in isolation:
+Floors are set ~15% below measured steady state (re-based each round;
+round-5 tightening so a reversion of the prior round's wins actually
+trips the gate) — enough to absorb the tunnel's run-to-run variance
+(docs/benchmarks.md methodology); a breach means a real regression,
+not noise.  Run on TPU, in isolation:
 
     python tools/bench_regression.py          # run + check
     python tools/bench_regression.py --check bench_output.txt

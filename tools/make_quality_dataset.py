@@ -149,7 +149,9 @@ def _procedural(rng: np.random.Generator) -> np.ndarray:
     return (np.clip(img, 0, 1) * 255.0 + 0.5).astype(np.uint8)
 
 
-def build(out: str, n_train: int, n_eval: int, seed: int) -> None:
+def build(
+    out: str, n_train: int, n_eval: int, seed: int, photo_only: bool = False
+) -> None:
     src = Image.open(PHOTO).convert("RGB")
     photo = np.asarray(
         src.resize((src.width // 2, src.height // 2), Image.LANCZOS)
@@ -167,7 +169,7 @@ def build(out: str, n_train: int, n_eval: int, seed: int) -> None:
         d = os.path.join(out, split)
         os.makedirs(d, exist_ok=True)
         for i in range(n):
-            if i % 2 == 0:
+            if photo_only or i % 2 == 0:
                 img = _photo_crop(rng, photo, x_range)
             else:
                 img = _procedural(rng)
@@ -183,11 +185,18 @@ def main() -> int:
     parser.add_argument("--n-train", type=int, default=200)
     parser.add_argument("--n-eval", type=int, default=24)
     parser.add_argument("--seed", type=int, default=4)
+    parser.add_argument(
+        "--photo-only",
+        action="store_true",
+        help="photo-mosaic images only (no procedural/grain images); the "
+        "GAN-phase-stability evidence configuration — grain-free content "
+        "keeps the discriminator from trivially separating SR from HR",
+    )
     args = parser.parse_args()
     if not os.path.exists(PHOTO):
         print(f"error: {PHOTO} missing", file=sys.stderr)
         return 1
-    build(args.out, args.n_train, args.n_eval, args.seed)
+    build(args.out, args.n_train, args.n_eval, args.seed, args.photo_only)
     return 0
 
 

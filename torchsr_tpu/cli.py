@@ -83,10 +83,14 @@ def parse_args(argv: list[str] | None = None) -> Namespace:
              "random crops per image per epoch.",
     )
     train.add_argument(
-        "--steps-per-call", type=positive_integer, default=8,
+        "--steps-per-call", type=positive_integer, default=None,
         help="Training steps fused into one device program per host "
              "dispatch (lax.scan over a stacked batch axis); amortizes "
-             "per-call dispatch overhead.  1 disables fusion.",
+             "per-call dispatch overhead.  1 disables fusion.  Default: "
+             "model-tuned (8 for pretrain; GAN phase 8 for SRGAN, "
+             "unrolled 2 for ESRGAN — measured optima).  Values above "
+             "the model's tuned GAN K run as lax.scan to bound compile "
+             "time.",
     )
     train.add_argument(
         "--shuffle-window", type=int, default=0,

@@ -498,14 +498,20 @@ class GANTrainer:
                 )
                 return st, (m["disc_loss"], m["gen_loss"])
 
-            if self.GAN_MULTI_UNROLL:
+            if (
+                self.GAN_MULTI_UNROLL
+                and crops_k.shape[0] <= self.GAN_STEPS_PER_CALL
+            ):
                 # Unrolled chain: XLA schedules a while-loop (scan)
                 # body measurably worse than the same body straightline
                 # at large step sizes (round 4, ESRGAN GAN: scan-8
                 # 77.57 ms/step, per-call 76.77, unrolled-2 76.21) —
                 # trading K-times the compile time (persistent-cached)
                 # for the best of both: no scan penalty, amortized
-                # dispatch.
+                # dispatch.  Capped at the model's tuned K: an explicit
+                # --steps-per-call larger than GAN_STEPS_PER_CALL falls
+                # back to lax.scan rather than multiplying the
+                # minutes-long GAN first-compile by K.
                 dls, gls = [], []
                 for i in range(crops_k.shape[0]):
                     state, (dl, gl) = body(
@@ -1136,8 +1142,7 @@ class GANTrainer:
             steps_per_call,
         ):
             k, losses = run_call(kind, payload)
-            for _ in range(k):
-                self.profiler.step()
+            self.profiler.step(k)
             done += k
             pbar.update(k)
             self._check_preemption(epoch, phase)
@@ -1366,7 +1371,13 @@ def discover_vgg_weights() -> str | None:
     (reference Dockerfile:11)."""
     env = os.environ.get("TORCHSR_VGG_WEIGHTS")
     if env:
-        return env if os.path.exists(env) else None
+        if not os.path.exists(env):
+            # As explicit as --vgg-weights: a broken path must not
+            # silently degrade training to random VGG features.
+            raise FileNotFoundError(
+                f"TORCHSR_VGG_WEIGHTS points at a missing file: {env}"
+            )
+        return env
     home = os.path.expanduser("~")
     torch_home = os.environ.get(
         "TORCH_HOME", os.path.join(home, ".cache", "torch")

@@ -10,12 +10,15 @@ of N hot-loop steps (skipping the compile step), written to
 On TPU runtimes where ``jax.profiler.start_trace`` is unsafe (this
 repo's dev platform hangs inside it; opt back in with
 ``TORCHSR_FORCE_PROFILE=1``), the same window degrades to a
-**step-cadence summary** instead of doing nothing: per-step wall-clock
-deltas of the hot loop (mean/p50/p90/max, steps/sec) written to
+**step-cadence summary** instead of doing nothing: per-jitted-call
+wall-clock deltas of the hot loop, divided by each call's fused step
+count K (mean/p50/p90/max, steps/sec), written to
 ``<profile-dir>/step_times.json``.  Caveat recorded in the file: these
-are host-side call cadences — they equal device step time only when the
-loop consumes per-step results (the production loops do read metrics
-per call); for device-side section anatomy use tools/profile_gan_step.py.
+are host-side call cadences — they track device step time only when
+the loop consumes per-call results, which the production loops do only
+when wandb logging is active; otherwise dispatch is async and the
+cadence can read below real device step time.  For device-side section
+anatomy use tools/profile_gan_step.py.
 """
 
 from __future__ import annotations
@@ -60,24 +63,26 @@ class StepProfiler:
                     "device trace)"
                 )
             self._timing = True
-            self._stamps = [time.perf_counter()]
+            self._stamps = [(time.perf_counter(), 0)]
             self._trace_started_at = self._seen
             return
         jax.profiler.start_trace(self.out_dir)
         self._tracing = True
         self._trace_started_at = self._seen
 
-    def step(self) -> None:
-        """Call once per train step (after dispatching the step)."""
+    def step(self, k: int = 1) -> None:
+        """Call once per jitted call (after dispatching it), with the
+        number of train steps the call fused (multi-step programs pass
+        their K; cadence deltas are divided by it)."""
         if self._done:
             return
-        self._seen += 1
+        self._seen += k
         if not (self._tracing or self._timing):
             if self._seen > self.START_AT_STEP:
                 self._start()
             return
         if self._timing:
-            self._stamps.append(time.perf_counter())
+            self._stamps.append((time.perf_counter(), k))
         if self._seen - self._trace_started_at >= self.num_steps:
             self.stop()
 
@@ -96,23 +101,33 @@ class StepProfiler:
                     f"{self.out_dir}/"
                 )
         elif self._timing and len(self._stamps) >= 2:
+            # One stamp per jitted call; per-step time is the call
+            # delta divided by that call's fused step count.
             deltas = sorted(
-                b - a for a, b in zip(self._stamps, self._stamps[1:])
+                (t1 - t0) / max(k1, 1)
+                for (t0, _), (t1, k1) in zip(
+                    self._stamps, self._stamps[1:]
+                )
             )
             n = len(deltas)
             mean = sum(deltas) / n
             summary = {
-                "steps_timed": n,
+                "steps_timed": sum(k1 for _, k1 in self._stamps[1:]),
+                "calls_timed": n,
                 "mean_ms": round(mean * 1e3, 3),
                 "p50_ms": round(deltas[n // 2] * 1e3, 3),
                 "p90_ms": round(deltas[(9 * n) // 10] * 1e3, 3),
                 "max_ms": round(deltas[-1] * 1e3, 3),
                 "steps_per_sec": round(1.0 / max(mean, 1e-9), 3),
                 "note": (
-                    "host-side hot-loop call cadence (TPU trace "
-                    "fallback); equals device step time only when the "
-                    "loop consumes per-step results — for device-side "
-                    "section anatomy use tools/profile_gan_step.py"
+                    "host-side per-call cadence divided by each "
+                    "call's fused step count (TPU trace fallback); "
+                    "tracks device step time only when the loop "
+                    "consumes per-call results — i.e. when wandb "
+                    "logging is active; otherwise dispatch is async "
+                    "and the cadence can read below real device step "
+                    "time.  For device-side section anatomy use "
+                    "tools/profile_gan_step.py"
                 ),
             }
             os.makedirs(self.out_dir, exist_ok=True)
