@@ -410,3 +410,45 @@ def test_fused_rdb_big_single_image_block():
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5
     )
+
+
+def test_ilv_kernel_matches_slot_kernel():
+    """The chunk-interleaved forward kernel (`_rdb_fwd_kernel_ilv`,
+    default ON for never-differentiated forwards, round 5) and the
+    3-slot kernel produce identical results; both match flax.  Odd
+    width + multi-image block exercises the per-chunk boundary
+    stripes; nonzero biases make any leakage visible."""
+    from torchsr_tpu.ops.pallas import rdb as rdb_mod
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(0, 0.5, (3, 5, 9, 64)), jnp.float32)
+    rdb = ResidualDenseBlock()
+    params = rdb.init(jax.random.PRNGKey(11), x)["params"]
+    for i in range(1, 6):
+        params[f"conv{i}"]["conv"]["bias"] = jnp.asarray(
+            rng.normal(0, 0.1, params[f"conv{i}"]["conv"]["bias"].shape),
+            jnp.float32,
+        )
+    ks = tuple(params[f"conv{i}"]["conv"]["kernel"] for i in range(1, 6))
+    bs = tuple(params[f"conv{i}"]["conv"]["bias"] for i in range(1, 6))
+    ref = rdb.apply({"params": params}, x)
+
+    prev = rdb_mod.ILV_KERNEL
+    try:
+        rdb_mod.ILV_KERNEL = True
+        jax.clear_caches()
+        out_ilv = fused_rdb(x, ks, bs, interpret=True)
+        rdb_mod.ILV_KERNEL = False
+        jax.clear_caches()
+        out_slot = fused_rdb(x, ks, bs, interpret=True)
+    finally:
+        rdb_mod.ILV_KERNEL = prev
+        jax.clear_caches()
+    np.testing.assert_allclose(
+        np.asarray(out_ilv), np.asarray(ref), rtol=1e-5, atol=1e-5
+    )
+    # one dot vs three summed dots: K-dim reduction order differs, so
+    # agreement is to the ulp, not bitwise
+    np.testing.assert_allclose(
+        np.asarray(out_ilv), np.asarray(out_slot), rtol=0, atol=5e-7
+    )

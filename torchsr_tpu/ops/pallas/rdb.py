@@ -214,6 +214,88 @@ def _rdb_fwd_kernel(x_ref, w1, w2, w3, w4, w5, b1, b2, b3, b4, b5,
         feat_ref[:] = x3_ref[:, _SLOT:_SLOT + FEAT]
 
 
+# Chunk-interleaved layout (forward-only serving kernel): per-32-channel
+# chunk stride in the feature buffer is 3*32 = 96 lanes, holding that
+# chunk's [up | mid | dn] dy copies contiguously.
+_ILV_STRIDE = 3 * GROWTH
+
+
+def _rdb_fwd_kernel_ilv(x_ref, w1, w2, w3, w4, w5, b1, b2, b3, b4, b5,
+                        out_ref, x3_ref, *, hw, wimg, scale):
+    """Chunk-interleaved variant of :func:`_rdb_fwd_kernel` (forward
+    only — the serving/eval path; round-2 measured fwd -4%, rejected
+    then because its BACKWARD paid +55% in lane-offset relayouts;
+    round 5 re-lands it gated to never-differentiated forwards where
+    no backward exists, per the roadmap note).
+
+    The feature buffer interleaves the three dy copies per 32-channel
+    chunk — chunk ``j`` occupies lanes [96j, 96j+96) as
+    [up_j | mid_j | dn_j] — so every conv's GEMM operand is ONE
+    contiguous lane-offset-0 slice ``buf[:, :3*C_in]`` and the matmul
+    runs as a single K=3*C_in dot (the packed weight rows are ordered
+    (chunk, dy, ci); :func:`_repack_ilv`).  Same store traffic as the
+    3-slot kernel, one dot instead of three per conv."""
+    mblk = x_ref.shape[0]
+    n_img = mblk // hw
+    w_refs = (w1, w2, w3, w4, w5)
+    b_refs = (b1, b2, b3, b4, b5)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (mblk, 1), 0) % wimg
+    first_col = col == 0
+    last_col = col == wimg - 1
+
+    def grow(v, chunk0, c):
+        """Write ``v``'s channels as chunks ``chunk0..`` ([up|mid|dn]
+        per chunk).  Shift zero-fill covers the block's outer dy
+        boundary; interior image boundaries get static stripe stores.
+        The dy shifts are built at full width FIRST (operands at lane
+        offset 0) and sliced per chunk only at the stores: Mosaic has
+        no lowering for concat whose operand is a lane-offset slice
+        ("offset mismatch on non-concat dimension")."""
+        zero_c = jnp.zeros((wimg, c), v.dtype)
+        up = jnp.concatenate([zero_c, v[:mblk - wimg]], axis=0)
+        dn = jnp.concatenate([v[wimg:], zero_c], axis=0)
+        zero = jnp.zeros((wimg, GROWTH), v.dtype)
+        for j in range(c // GROWTH):
+            base = (chunk0 + j) * _ILV_STRIDE
+            sl = slice(j * GROWTH, (j + 1) * GROWTH)
+            x3_ref[:, base + GROWTH:base + 2 * GROWTH] = v[:, sl]
+            x3_ref[:, base:base + GROWTH] = up[:, sl]
+            x3_ref[:, base + 2 * GROWTH:base + 3 * GROWTH] = dn[:, sl]
+            for g in range(1, n_img):
+                x3_ref[g * hw:g * hw + wimg, base:base + GROWTH] = zero
+                x3_ref[g * hw - wimg:g * hw,
+                       base + 2 * GROWTH:base + 3 * GROWTH] = zero
+
+    grow(x_ref[:], 0, CHANNELS)
+
+    out = None
+    for i in range(5):
+        cin, cout = _CIN[i], _COUT[i]
+        y = jnp.dot(x3_ref[:, :3 * cin], w_refs[i][:],
+                    preferred_element_type=jnp.float32)
+        out = (
+            _shift(y[:, :cout], 1, first_col)
+            + y[:, cout:2 * cout]
+            + _shift(y[:, 2 * cout:], -1, last_col)
+            + b_refs[i][:]
+        )
+        if i < 4:
+            grow(_leaky(out).astype(x3_ref.dtype),
+                 (CHANNELS + GROWTH * i) // GROWTH, GROWTH)
+
+    residual = x_ref[:].astype(jnp.float32)
+    out_ref[:] = (out * scale + residual).astype(out_ref.dtype)
+
+
+def _repack_ilv(w, ci):
+    """Standard packed weight (rows (dy, ci)) -> chunk-interleaved rows
+    (chunk, dy, ci-within-chunk); columns (dx, co) unchanged."""
+    r, c3 = w.shape
+    t = w.reshape(3, ci // GROWTH, GROWTH, c3)
+    return jnp.transpose(t, (1, 0, 2, 3)).reshape(r, c3)
+
+
 def _rdb_fwd_kernel_ext(x_ref, w1, w2, w3, w4, w5, b1, b2, b3, b4, b5,
                         *refs, hw, wimg, scale, save_feat):
     """Single-image extended-row variant of :func:`_rdb_fwd_kernel`.
@@ -303,6 +385,16 @@ def _rdb_fwd_kernel_ext(x_ref, w1, w2, w3, w4, w5, b1, b2, b3, b4, b5,
 # use separate processes).
 EXT_KERNEL = os.environ.get("TORCHSR_RDB_EXT", "0") == "1"
 
+# Chunk-interleaved FORWARD kernel for never-differentiated calls
+# (inference/serving/eval — `_rdb_fwd(save_feat=False)` outside the
+# custom-VJP fwd rule).  Round-2 history: fwd -4% but bwd +55%, so it
+# lost for training; the round-4 fwd-only gating (models/esrgan.py
+# fwd_only) created a path where no backward ever runs, which this
+# layout now serves.  TORCHSR_RDB_ILV=0 restores the 3-slot kernel
+# (env-driven, read once at import — the jit cache does not key on it;
+# A/B runs use separate processes).
+ILV_KERNEL = os.environ.get("TORCHSR_RDB_ILV", "1") == "1"
+
 
 def _ext_eligible(hw: int, width: int) -> bool:
     """The extended-row kernel needs one image per grid step (buffer has
@@ -343,14 +435,23 @@ def _rdb_fwd(x2d, weights, biases, *, height, width, scale, interpret,
     m, c = x2d.shape
     hw = height * width
     ext = _ext_eligible(hw, width)
+    ilv = ILV_KERNEL and not save_feat and not ext
     mblk = hw if ext else _block_rows(m // hw, hw)
     grid = (m // mblk,)
     dt = x2d.dtype
 
-    kernel = functools.partial(
-        _rdb_fwd_kernel_ext if ext else _rdb_fwd_kernel,
-        hw=hw, wimg=width, scale=scale, save_feat=save_feat,
-    )
+    if ilv:
+        weights = tuple(
+            _repack_ilv(w, _CIN[i]) for i, w in enumerate(weights)
+        )
+        kernel = functools.partial(
+            _rdb_fwd_kernel_ilv, hw=hw, wimg=width, scale=scale,
+        )
+    else:
+        kernel = functools.partial(
+            _rdb_fwd_kernel_ext if ext else _rdb_fwd_kernel,
+            hw=hw, wimg=width, scale=scale, save_feat=save_feat,
+        )
     out_shape = jax.ShapeDtypeStruct((m, c), dt)
     out_specs = pl.BlockSpec((mblk, c), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
@@ -374,7 +475,9 @@ def _rdb_fwd(x2d, weights, biases, *, height, width, scale, interpret,
         out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((mblk + 2 * width, _SLOT), dt) if ext
-            else pltpu.VMEM((mblk, 3 * _SLOT), dt),
+            else pltpu.VMEM(
+                (mblk, 3 * FEAT if ilv else 3 * _SLOT), dt
+            ),
         ],
         compiler_params=_compiler_params(mblk, x2d.dtype.itemsize,
                                          2 * _MAX_BLOCK_ROWS),
