@@ -73,13 +73,48 @@ def _devices() -> dict:
         }
 
 
-def _device_sanity() -> dict:
-    """One tiny matmul with a scalar readback, timed.
+def _device_sanity(timeout_s: float = 120.0) -> dict:
+    """One tiny matmul with a scalar readback, timed, under a watchdog.
 
     Proves dispatch + compile + readback work; the time is dominated by
     compile on a cold process and says nothing about throughput (use
-    bench.py for that).
-    """
+    bench.py for that).  The watchdog exists because the dev tunnel's
+    device service can wedge while its compile service stays healthy —
+    a blocked readback then hangs any client forever (observed live:
+    training froze mid-step, new clients froze at first dispatch).  A
+    daemon thread cannot interrupt the blocked C call, but it CAN let
+    doctor report "device unresponsive" instead of becoming the next
+    hung process."""
+    import threading
+
+    box: dict = {}
+
+    def run():
+        box.update(_device_sanity_inner())
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if t.is_alive():
+        return {
+            "ok": False,
+            "error": (
+                f"device unresponsive: probe still blocked after "
+                f"{timeout_s:.0f}s"
+            ),
+            "hint": (
+                "dispatch/readback is hanging, not failing — on the "
+                "tunneled dev TPU this means the device service is "
+                "down or wedged by a stuck client (the compile "
+                "endpoint can stay healthy).  Kill stale TPU client "
+                "processes by PID and retry; if it persists, the "
+                "terminal side must recover on its own."
+            ),
+        }
+    return box
+
+
+def _device_sanity_inner() -> dict:
     try:
         import jax
         import numpy as np
@@ -303,4 +338,12 @@ def run_doctor(args) -> dict:
             "OK" if runtime_ok and sanity.get("ok", True) else "PROBLEMS"
         )
         print(f"\nverdict: {verdict}")
+    if "unresponsive" in str(
+        report.get("device_sanity", {}).get("error", "")
+    ):
+        # The probe thread is still blocked inside the runtime; a
+        # normal interpreter shutdown would abort ("exception not
+        # rethrown") AFTER the report — exit hard instead.
+        sys.stdout.flush()
+        os._exit(3)
     return report
