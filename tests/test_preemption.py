@@ -79,11 +79,11 @@ def test_trainer_preemption_saves_full_state(image_dir, tmp_path,
     calls = {"n": 0}
     orig_step = trainer.profiler.step
 
-    def hooked_step():
+    def hooked_step(k=1):
         calls["n"] += 1
         if calls["n"] == 2:  # 1 step/epoch here: fires in epoch 2
             os.kill(os.getpid(), signal.SIGTERM)
-        return orig_step()
+        return orig_step(k)
 
     trainer.profiler.step = hooked_step
     trainer.train()  # returns (no exception): preempted + handled
