@@ -150,12 +150,20 @@ def _procedural(rng: np.random.Generator) -> np.ndarray:
 
 
 def build(
-    out: str, n_train: int, n_eval: int, seed: int, photo_only: bool = False
+    out: str,
+    n_train: int,
+    n_eval: int,
+    seed: int,
+    photo_only: bool = False,
+    decimate: bool = True,
 ) -> None:
     src = Image.open(PHOTO).convert("RGB")
-    photo = np.asarray(
-        src.resize((src.width // 2, src.height // 2), Image.LANCZOS)
-    )
+    if decimate:
+        photo = np.asarray(
+            src.resize((src.width // 2, src.height // 2), Image.LANCZOS)
+        )
+    else:
+        photo = np.asarray(src)
     w = photo.shape[1]
     tile = SIZE // 4
     # Disjoint photo regions: train tiles end before column split_at,
@@ -192,11 +200,24 @@ def main() -> int:
         "GAN-phase-stability evidence configuration — grain-free content "
         "keeps the discriminator from trivially separating SR from HR",
     )
+    parser.add_argument(
+        "--no-decimate",
+        action="store_true",
+        help="mosaic the photo's NATIVE pixels instead of the "
+        "2x-LANCZOS-decimated ones.  The blurry native content makes "
+        "bicubic re-upscaling nearly lossless (no margin to learn) — "
+        "NOT for quality headlines — but its weak high-frequency "
+        "signal is the most GAN-stable configuration (the round-4 "
+        "run-1 GAN-holds-PSNR evidence setup).",
+    )
     args = parser.parse_args()
     if not os.path.exists(PHOTO):
         print(f"error: {PHOTO} missing", file=sys.stderr)
         return 1
-    build(args.out, args.n_train, args.n_eval, args.seed, args.photo_only)
+    build(
+        args.out, args.n_train, args.n_eval, args.seed,
+        args.photo_only, not args.no_decimate,
+    )
     return 0
 
 
