@@ -55,7 +55,11 @@ CROP = 96
 WARMUP_STEPS = 5
 MEASURE_STEPS = 60
 
-ESRGAN_BATCH = 32  # GAN-step throughput saturates from batch 32
+# Round-5 re-sweep under the one-pass-BN + unrolled-K2 step
+# (tools/sweep_esrgan_batch.py, order-swapped pass1/pass2):
+# b32 409.8/409.4, b48 419.2/416.9, b64 422.0/423.7 crops/s — batch 64
+# (also the reference's default BATCH_SIZE) is the measured optimum.
+ESRGAN_BATCH = 64
 ESRGAN_CROP = 128
 ESRGAN_STEPS = 16
 
@@ -155,8 +159,8 @@ def bench_esrgan_gan() -> None:
         "metric": "esrgan_gan_step_crops_per_sec_per_chip",
         "value": round(crops_per_sec, 2),
         "unit": (
-            "crops/sec/chip (ESRGAN full GAN step, 128x128 HR, "
-            "batch 32, bf16, fused Pallas RDB)"
+            f"crops/sec/chip (ESRGAN full GAN step, 128x128 HR, "
+            f"batch {ESRGAN_BATCH}, bf16, fused Pallas RDB)"
         ),
         "vs_baseline": round(
             crops_per_sec / V100_ESRGAN_GAN_CROPS_PER_SEC, 3
@@ -229,8 +233,10 @@ def bench_srgan_gan() -> None:
 
 def bench_tiled_inference() -> None:
     """Tiled overlap-blend 4x inference, 1080p -> 4K (BASELINE.md
-    config 5), SRGAN tile 128 / overlap 16 / tile-batch 8; reports 4K
-    output megapixels per second."""
+    config 5), SRGAN tile 256 / overlap 16 / tile-batch 8 (round-5
+    sweep: 256px tiles cut halo redundancy 1.343x -> 1.264x on the
+    compute-bound frame, 115.1 -> 119.6 MP/s; tools/profile_infer.py
+    --sweep); reports 4K output megapixels per second."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -239,7 +245,7 @@ def bench_tiled_inference() -> None:
     from torchsr_tpu.models import SRGANGenerator
 
     gen = SRGANGenerator(dtype=jnp.bfloat16)
-    tile = 128
+    tile = 256
     x0 = jnp.zeros((1, tile, tile, 3))
     variables = jax.device_put(
         gen.init(jax.random.PRNGKey(0), x0, train=False)
@@ -275,7 +281,7 @@ def bench_tiled_inference() -> None:
         "metric": "srgan_tiled_infer_output_mp_per_sec",
         "value": round(out_mp_per_sec, 2),
         "unit": (
-            "4K-output MP/sec (SRGAN tiled 1080p->4K, tile 128, "
+            "4K-output MP/sec (SRGAN tiled 1080p->4K, tile 256, "
             "overlap 16, tile-batch 8, bf16)"
         ),
         "vs_baseline": round(

@@ -414,10 +414,11 @@ def test_fused_rdb_big_single_image_block():
 
 def test_ilv_kernel_matches_slot_kernel():
     """The chunk-interleaved forward kernel (`_rdb_fwd_kernel_ilv`,
-    default ON for never-differentiated forwards, round 5) and the
-    3-slot kernel produce identical results; both match flax.  Odd
-    width + multi-image block exercises the per-chunk boundary
-    stripes; nonzero biases make any leakage visible."""
+    round 5 — a MEASURED NEGATIVE at the serving shape, default OFF,
+    kept selectable via TORCHSR_RDB_ILV=1) and the 3-slot kernel
+    produce identical results; both match flax.  Odd width +
+    multi-image block exercises the per-chunk boundary stripes;
+    nonzero biases make any leakage visible."""
     from torchsr_tpu.ops.pallas import rdb as rdb_mod
 
     rng = np.random.default_rng(11)

@@ -57,6 +57,10 @@ def main() -> None:
                     help="comma-separated subset (default: all)")
     ap.add_argument("--sweep", action="store_true",
                     help="tile/tile-batch frame sweep instead of anatomy")
+    ap.add_argument("--tiles", default="96,128,160,192,224,256",
+                    help="sweep: comma-separated LR tile sizes")
+    ap.add_argument("--batches", default="4,8,16",
+                    help="sweep: comma-separated tile-batch sizes")
     args = ap.parse_args()
     only = set(filter(None, args.components.split(",")))
 
@@ -125,10 +129,14 @@ def main() -> None:
     results: dict[str, float] = {}
 
     def slope(rep, name):
-        c1 = make_chain(rep, args.n1)
-        c2 = make_chain(rep, args.n2)
-        t1 = timed(c1)
-        t2 = timed(c2)
+        try:
+            c1 = make_chain(rep, args.n1)
+            c2 = make_chain(rep, args.n2)
+            t1 = timed(c1)
+            t2 = timed(c2)
+        except Exception as e:  # keep profiling the other components
+            print(f"  {name:14s} ERROR: {str(e)[:120]}")
+            return None
         per_rep = (t2 - t1) / (args.n2 - args.n1)
         results[name] = per_rep * 1e3
         print(f"  {name:14s} {per_rep * 1e3:8.3f} ms/rep")
@@ -166,8 +174,8 @@ def main() -> None:
         print(f"# {args.model} frame sweep (1080p->4K, overlap "
               f"{overlap}, bf16)")
         combos = []
-        for t in (96, 128, 160, 192, 224, 256):
-            for b in (4, 8, 16):
+        for t in (int(v) for v in args.tiles.split(",")):
+            for b in (int(v) for v in args.batches.split(",")):
                 if t * t * b <= 256 * 256 * 16:  # bound VMEM/HBM growth
                     combos.append((t, b))
         # Throwaway frame phase first (first-timed-variant bias).

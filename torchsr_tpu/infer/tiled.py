@@ -30,9 +30,13 @@ import numpy as np
 
 
 # LR tile sizes measured fastest per model on v5e (docs/benchmarks.md:
-# ESRGAN 64px tiles beat 128px 1.53x with the fused RDB kernel active;
-# SRGAN's shallower tower prefers the larger 128px tiles).
-DEFAULT_SERVING_TILE = {"esrgan": 64, "srgan": 128}
+# ESRGAN 64px tiles beat 128px 1.53x with the fused Pallas RDB kernel
+# active; SRGAN prefers the largest swept tile — the round-5 frame
+# anatomy shows the SRGAN frame is tower-compute-bound at an MXU shape
+# ceiling, so halo redundancy is the attackable term and 256px tiles
+# cut it 1.343x -> 1.264x on a 1080p frame: 115.1 -> 119.6 MP/s at
+# identical overlap/seam quality, tools/profile_infer.py --sweep).
+DEFAULT_SERVING_TILE = {"esrgan": 64, "srgan": 256}
 
 
 def _positions(size: int, tile: int, stride: int) -> list[int]:

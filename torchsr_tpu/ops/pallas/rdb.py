@@ -390,10 +390,17 @@ EXT_KERNEL = os.environ.get("TORCHSR_RDB_EXT", "0") == "1"
 # custom-VJP fwd rule).  Round-2 history: fwd -4% but bwd +55%, so it
 # lost for training; the round-4 fwd-only gating (models/esrgan.py
 # fwd_only) created a path where no backward ever runs, which this
-# layout now serves.  TORCHSR_RDB_ILV=0 restores the 3-slot kernel
-# (env-driven, read once at import — the jit cache does not key on it;
-# A/B runs use separate processes).
-ILV_KERNEL = os.environ.get("TORCHSR_RDB_ILV", "1") == "1"
+# layout was re-landed to serve (round 5).  MEASURED NEGATIVE at the
+# serving shape, default OFF: the order-swapped end-to-end A/B at the
+# production tiled-inference config (tile 64 / overlap 8 / batch 16,
+# single-image 4096-row blocks) read the interleaved kernel ~1%
+# SLOWER (17.56/17.49 vs 17.69/17.70 MP/s) — the round-2 "-4% fwd"
+# was measured on multi-image 2048-row training-shape blocks, and the
+# one-dot-per-conv win does not survive the serving regime's raised-
+# VMEM single-image blocks.  Kept selectable (TORCHSR_RDB_ILV=1) for
+# future-toolchain re-evaluation; env-driven, read once at import —
+# the jit cache does not key on it; A/B runs use separate processes.
+ILV_KERNEL = os.environ.get("TORCHSR_RDB_ILV", "0") == "1"
 
 
 def _ext_eligible(hw: int, width: int) -> bool:
